@@ -1,0 +1,251 @@
+"""Mesh loading and device-ready mesh buffers for the TPU rasterizer.
+
+Replaces the reference's glumpy data.objload + per-class gloo.Program setup
+(lib/render_glumpy/render_py_multi.py:69-81) with a host-side loader that
+bakes textures into per-vertex colors and packs all classes into padded,
+class-indexable device buffers (SURVEY.md §7.4 "multi-class batched
+rendering").
+
+Texture baking: the reference samples texture_map.png per fragment in GLSL
+(render_py_multi.py:40-52).  On TPU, per-fragment texture gathers are
+hostile to the hardware; LINEMOD meshes are dense (~10k-60k vertices over
+small objects), so sampling the texture once per vertex at load time and
+interpolating vertex colors perspective-correctly in the rasterizer gives a
+visually equivalent render without any gather in the hot loop.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Mesh:
+    """A single triangle mesh with per-vertex colors, host-side."""
+
+    vertices: np.ndarray  # (V, 3) float32, model frame (meters)
+    faces: np.ndarray     # (F, 3) int32
+    colors: np.ndarray    # (V, 3) float32 in [0, 255] (RGB)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    @property
+    def num_faces(self) -> int:
+        return self.faces.shape[0]
+
+    def diameter(self) -> float:
+        """Max pairwise extent approximation via bbox diagonal upper bound and
+        exact for eval usage compute via points (lib/utils/misc.py:56 computes
+        exact max pairwise distance; datasets ship models_info.txt instead)."""
+        lo = self.vertices.min(axis=0)
+        hi = self.vertices.max(axis=0)
+        return float(np.linalg.norm(hi - lo))
+
+
+def parse_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Minimal Wavefront OBJ parser.
+
+    Returns (vertices (V,3), texcoords (T,2), faces_v (F,3), faces_vt (F,3),
+    vertex_normals_unused).  Handles 'v', 'vt', 'f a/b/c' forms; polygons are
+    fan-triangulated.  Equivalent coverage to glumpy's data.objload for the
+    LINEMOD 'textured.obj' assets.
+    """
+    verts: list[list[float]] = []
+    texs: list[list[float]] = []
+    faces_v: list[list[int]] = []
+    faces_vt: list[list[int]] = []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                verts.append([float(p[1]), float(p[2]), float(p[3])])
+            elif line.startswith("vt "):
+                p = line.split()
+                texs.append([float(p[1]), float(p[2])])
+            elif line.startswith("f "):
+                p = line.split()[1:]
+                idx = []
+                for tok in p:
+                    sub = tok.split("/")
+                    vi = int(sub[0])
+                    ti = int(sub[1]) if len(sub) > 1 and sub[1] else 0
+                    idx.append((vi, ti))
+                for i in range(1, len(idx) - 1):  # fan triangulation
+                    tri = [idx[0], idx[i], idx[i + 1]]
+                    faces_v.append([t[0] - 1 if t[0] > 0 else len(verts) + t[0] for t in tri])
+                    faces_vt.append([t[1] - 1 if t[1] > 0 else len(texs) + t[1] for t in tri])
+    v = np.asarray(verts, np.float32)
+    vt = np.asarray(texs, np.float32) if texs else np.zeros((1, 2), np.float32)
+    fv = np.asarray(faces_v, np.int32)
+    fvt = np.asarray(faces_vt, np.int32)
+    return v, vt, fv, fvt, np.zeros((0, 3), np.float32)
+
+
+def _sample_texture(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Bilinear texture lookup at uv in [0,1]^2 (v up, OpenGL convention —
+    the reference flips the texture rows at load, render_py_multi.py:76)."""
+    th, tw = texture.shape[:2]
+    u = np.clip(uv[:, 0], 0.0, 1.0) * (tw - 1)
+    v = (1.0 - np.clip(uv[:, 1], 0.0, 1.0)) * (th - 1)
+    x0 = np.floor(u).astype(np.int64)
+    y0 = np.floor(v).astype(np.int64)
+    x1 = np.minimum(x0 + 1, tw - 1)
+    y1 = np.minimum(y0 + 1, th - 1)
+    fx = (u - x0)[:, None]
+    fy = (v - y0)[:, None]
+    t = texture.astype(np.float32)
+    return (
+        t[y0, x0] * (1 - fx) * (1 - fy)
+        + t[y0, x1] * fx * (1 - fy)
+        + t[y1, x0] * (1 - fx) * fy
+        + t[y1, x1] * fx * fy
+    )
+
+
+def load_textured_mesh(model_dir: str, obj_name: str = "textured.obj", tex_name: str = "texture_map.png") -> Mesh:
+    """Load a LINEMOD-style model directory (textured.obj + texture_map.png)
+    into a vertex-colored Mesh (render_py_multi.py:69-81 equivalent)."""
+    import cv2
+
+    v, vt, fv, fvt, _ = parse_obj(os.path.join(model_dir, obj_name))
+    tex_path = os.path.join(model_dir, tex_name)
+    if os.path.exists(tex_path):
+        tex = cv2.imread(tex_path, cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR -> RGB
+        # Average the texcoords used per vertex (a vertex may appear with
+        # several uvs across faces; take the first occurrence).
+        vert_uv = np.zeros((v.shape[0], 2), np.float32)
+        seen = np.zeros(v.shape[0], bool)
+        for tri_v, tri_t in zip(fv, fvt):
+            for vi, ti in zip(tri_v, tri_t):
+                if not seen[vi]:
+                    vert_uv[vi] = vt[ti]
+                    seen[vi] = True
+        colors = _sample_texture(tex, vert_uv).astype(np.float32)
+    else:
+        colors = np.full((v.shape[0], 3), 128.0, np.float32)
+    return Mesh(vertices=v, faces=fv, colors=colors)
+
+
+def make_colored_mesh(vertices: np.ndarray, faces: np.ndarray, colors: np.ndarray | None = None) -> Mesh:
+    if colors is None:
+        colors = np.full((vertices.shape[0], 3), 180.0, np.float32)
+    return Mesh(
+        vertices=np.asarray(vertices, np.float32),
+        faces=np.asarray(faces, np.int32),
+        colors=np.asarray(colors, np.float32),
+    )
+
+
+@dataclass
+class MeshBank:
+    """All object classes packed into padded device-uploadable arrays,
+    gathered by class index inside the jitted render step (replaces the
+    reference's one-gloo-program-per-class list, render_py_multi.py:66-81)."""
+
+    vertices: np.ndarray   # (C, Vmax, 3) float32, padded with zeros
+    colors: np.ndarray     # (C, Vmax, 3) float32
+    faces: np.ndarray      # (C, Fmax, 3) int32, padded with 0
+    face_valid: np.ndarray  # (C, Fmax) bool
+    num_vertices: np.ndarray  # (C,) int32
+    num_faces: np.ndarray     # (C,) int32
+
+    @staticmethod
+    def from_meshes(meshes: list[Mesh], pad_multiple: int = 256) -> "MeshBank":
+        def rnd(n):
+            return ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+        vmax = rnd(max(m.num_vertices for m in meshes))
+        fmax = rnd(max(m.num_faces for m in meshes))
+        c = len(meshes)
+        verts = np.zeros((c, vmax, 3), np.float32)
+        cols = np.zeros((c, vmax, 3), np.float32)
+        faces = np.zeros((c, fmax, 3), np.int32)
+        valid = np.zeros((c, fmax), bool)
+        nv = np.zeros(c, np.int32)
+        nf = np.zeros(c, np.int32)
+        for i, m in enumerate(meshes):
+            verts[i, : m.num_vertices] = m.vertices
+            cols[i, : m.num_vertices] = m.colors
+            faces[i, : m.num_faces] = m.faces
+            valid[i, : m.num_faces] = True
+            nv[i] = m.num_vertices
+            nf[i] = m.num_faces
+        return MeshBank(verts, cols, faces, valid, nv, nf)
+
+
+def make_test_cube(size: float = 0.1) -> Mesh:
+    """Axis-aligned cube mesh with distinct face colors — used by golden
+    tests (replacing the reference's render-vs-dataset-image self-test,
+    render_py_multi.py:163-268, which needs dataset assets)."""
+    s = size / 2
+    corners = np.array(
+        [[-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s],
+         [-s, -s, s], [s, -s, s], [s, s, s], [-s, s, s]], np.float32
+    )
+    quads = [
+        (0, 1, 2, 3), (4, 7, 6, 5), (0, 4, 5, 1),
+        (3, 2, 6, 7), (0, 3, 7, 4), (1, 5, 6, 2),
+    ]
+    face_colors = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255],
+         [255, 255, 0], [255, 0, 255], [0, 255, 255]], np.float32
+    )
+    verts, cols, faces = [], [], []
+    for qi, q in enumerate(quads):
+        base = len(verts)
+        for ci in q:
+            verts.append(corners[ci])
+            cols.append(face_colors[qi])
+        faces.append([base, base + 1, base + 2])
+        faces.append([base, base + 2, base + 3])
+    return Mesh(
+        vertices=np.asarray(verts, np.float32),
+        faces=np.asarray(faces, np.int32),
+        colors=np.asarray(cols, np.float32),
+    )
+
+
+def make_icosphere(radius: float = 0.05, subdiv: int = 2) -> Mesh:
+    """Icosphere for rasterizer tests (many small triangles)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+         [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+         [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64
+    )
+    faces = np.array(
+        [[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+         [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+         [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+         [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64
+    )
+    for _ in range(subdiv):
+        edge_mid: dict[tuple[int, int], int] = {}
+        new_faces = []
+        verts_list = verts.tolist()
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = (np.asarray(verts_list[a]) + np.asarray(verts_list[b])) / 2
+                verts_list.append(m.tolist())
+                edge_mid[key] = len(verts_list) - 1
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, np.int64)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * radius
+    colors = (verts / radius * 0.5 + 0.5) * 255.0
+    return Mesh(
+        vertices=verts.astype(np.float32),
+        faces=faces.astype(np.int32),
+        colors=colors.astype(np.float32),
+    )
