@@ -1,0 +1,229 @@
+"""The render-and-compare refinement engine.
+
+One refinement iteration = render the mesh at the current pose estimate,
+compute the zoom crop, run the matching network on the (observed, rendered)
+pair, and apply the untangled SE(3) delta.  The whole loop is a
+`jax.lax.scan` inside a single jitted function, so the 4-iteration test-time
+refinement never leaves the chip — replacing the reference's host loop of
+predict -> numpy RT_transform -> OpenGL re-render -> update_data_batch ->
+predict (deepim/core/tester.py:389-485) and the training-time
+batchUpdaterPyMulti host round trip (lib/pair_matching/
+batch_updater_py_multi.py:91-328).
+
+Mask-update strategies mirror TEST.UPDATE_MASK / TRAIN.UPDATE_MASK
+(lib/pair_matching/data_pair.py:93-123): 'box_rendered' rebuilds the
+observed-mask rectangle from the current rendered mask every iteration;
+'init'/'box_gt'/'mask_gt' keep the loader-provided observed mask fixed.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deepim_tpu.config import Config
+from deepim_tpu.geometry.se3 import RT_transform
+from deepim_tpu.models.flownet import assemble_input
+from deepim_tpu.ops.masks import box_fill
+from deepim_tpu.ops.zoom import (
+    zoom_depths,
+    zoom_factor_from_images,
+    zoom_factor_from_masks,
+    zoom_images,
+    zoom_masks,
+    zoom_trans,
+)
+from deepim_tpu.render.rasterizer import RasterConfig, rasterize, render_mask
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static refinement-engine parameters (hashable; safe as a jit static)."""
+
+    height: int = 480
+    width: int = 640
+    raster: RasterConfig = RasterConfig()
+    rot_coord: str = "CAMERA"
+    trans_means: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    trans_stds: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    pixel_means: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    input_depth: bool = False
+    input_mask: bool = True
+    pred_flow: bool = True
+    pred_mask: bool = True
+    update_mask: str = "box_rendered"
+    normalize_flow: float = 20.0
+    normalize_3d_point: float = 0.1
+    mask_thresh: float = 0.2
+    depth_factor_for_input: float = 255.0  # reference divides depth by 255 (deepIM_flownet.py:38-39)
+    num_iters: int = 4
+
+    @staticmethod
+    def from_config(cfg: Config, train: bool = False) -> "EngineConfig":
+        return EngineConfig(
+            height=cfg.height,
+            width=cfg.width,
+            raster=RasterConfig(
+                height=cfg.height,
+                width=cfg.width,
+                znear=cfg.dataset.ZNEAR,
+                zfar=cfg.dataset.ZFAR,
+            ),
+            rot_coord=cfg.network.ROT_COORD,
+            trans_means=cfg.dataset.trans_means,
+            trans_stds=cfg.dataset.trans_stds,
+            pixel_means=cfg.network.PIXEL_MEANS,
+            input_depth=cfg.network.INPUT_DEPTH,
+            input_mask=cfg.network.INPUT_MASK,
+            pred_flow=cfg.network.PRED_FLOW,
+            pred_mask=cfg.network.PRED_MASK,
+            update_mask=(cfg.TRAIN.UPDATE_MASK if train else cfg.TEST.UPDATE_MASK),
+            normalize_flow=cfg.dataset.NORMALIZE_FLOW,
+            normalize_3d_point=cfg.dataset.NORMALIZE_3D_POINT,
+            num_iters=(cfg.network.TRAIN_ITER_SIZE if train else cfg.TEST.test_iter),
+        )
+
+
+class MeshBuffers(NamedTuple):
+    """Per-sample mesh data, gathered from a MeshBank by class index."""
+
+    vertices: jax.Array   # (B, V, 3)
+    colors: jax.Array     # (B, V, 3)
+    faces: jax.Array      # (B, F, 3)
+    face_valid: jax.Array  # (B, F)
+
+    @staticmethod
+    def gather(bank_arrays: tuple, class_index: jax.Array) -> "MeshBuffers":
+        verts, cols, faces, valid = bank_arrays
+        return MeshBuffers(
+            verts[class_index], cols[class_index], faces[class_index], valid[class_index]
+        )
+
+
+class Observation(NamedTuple):
+    """Per-batch data that stays fixed across refinement iterations."""
+
+    image_observed: jax.Array          # (B, 3, H, W) RGB, raw [0, 255]
+    mask_observed: jax.Array           # (B, 1, H, W) strategy-applied mask
+    mask_gt_observed: jax.Array | None  # (B, 1, H, W); None at test time
+    depth_observed: jax.Array | None   # (B, 1, H, W) or None
+    k: jax.Array                       # (3, 3)
+
+
+def render_at_pose(meshes: MeshBuffers, pose: jax.Array, k: jax.Array, ecfg: EngineConfig):
+    """Render the batch at `pose` -> (image (B,3,H,W) RGB [0,255],
+    depth (B,1,H,W), mask (B,1,H,W)).  Gradients are stopped: rendering is a
+    label/input generator, as in the reference (SURVEY.md §7.4)."""
+    rgb, depth = rasterize(
+        meshes.vertices, meshes.colors, meshes.faces, meshes.face_valid, pose, k, ecfg.raster
+    )
+    rgb = jax.lax.stop_gradient(jnp.transpose(rgb, (0, 3, 1, 2)))
+    depth = jax.lax.stop_gradient(depth[:, None])
+    return rgb, depth, render_mask(depth, ecfg.mask_thresh)
+
+
+def refine_step(
+    params: Any,
+    model: Any,
+    obs: Observation,
+    meshes: MeshBuffers,
+    pose: jax.Array,
+    ecfg: EngineConfig,
+):
+    """One render->zoom->match->update iteration.
+
+    Returns (pose_new (B, 3, 4), aux dict with the network outputs, the zoom
+    factor, and the rendered buffers for loss computation / inspection).
+    """
+    k = obs.k
+    pm = jnp.asarray(ecfg.pixel_means, jnp.float32)
+    t_means = jnp.asarray(ecfg.trans_means, jnp.float32)
+    t_stds = jnp.asarray(ecfg.trans_stds, jnp.float32)
+
+    image_rendered, depth_rendered, mask_rendered = render_at_pose(meshes, pose, k, ecfg)
+
+    if ecfg.update_mask == "box_rendered":
+        mask_obs = box_fill(mask_rendered)
+    elif ecfg.update_mask == "box_observed":
+        mask_obs = box_fill(obs.mask_observed)
+    else:  # 'init', 'box_gt', 'mask_gt', ... : keep the loader-provided mask
+        mask_obs = obs.mask_observed
+    mask_gt_obs = obs.mask_gt_observed if obs.mask_gt_observed is not None else mask_obs
+
+    # Images enter the zoom mean-subtracted (train.py feeds transformed
+    # images; zoom adds/removes the means around sampling).
+    img_obs_norm = obs.image_observed - pm.reshape(1, 3, 1, 1)
+    img_rend_norm = image_rendered - pm.reshape(1, 3, 1, 1)
+
+    if ecfg.input_mask:
+        zf = zoom_factor_from_masks(mask_obs, mask_gt_obs, mask_rendered, pose, k)
+    else:
+        zf = zoom_factor_from_images(img_obs_norm, img_rend_norm, pose, k, pm)
+    z_img_obs, z_img_rend = zoom_images(img_obs_norm, img_rend_norm, zf, pm)
+
+    kwargs = {}
+    if ecfg.input_mask:
+        z_mask_obs, z_mask_gt, z_mask_rend = zoom_masks(mask_obs, mask_gt_obs, mask_rendered, zf)
+        kwargs["mask_observed"] = jnp.transpose(z_mask_obs, (0, 2, 3, 1))
+        kwargs["mask_rendered"] = jnp.transpose(z_mask_rend, (0, 2, 3, 1))
+    else:
+        z_mask_gt = None
+    if ecfg.input_depth:
+        z_d_obs, z_d_rend = zoom_depths(obs.depth_observed, depth_rendered, zf)
+        kwargs["depth_observed"] = jnp.transpose(z_d_obs, (0, 2, 3, 1)) * (
+            255.0 / ecfg.depth_factor_for_input
+        )
+        kwargs["depth_rendered"] = jnp.transpose(z_d_rend, (0, 2, 3, 1)) * (
+            255.0 / ecfg.depth_factor_for_input
+        )
+
+    # The network consumes (img - mean) / 255 (get_convs: zoomed image / 255).
+    x = assemble_input(
+        jnp.transpose(z_img_obs, (0, 2, 3, 1)),
+        jnp.transpose(z_img_rend, (0, 2, 3, 1)),
+        **kwargs,
+    )
+    out = model.apply(params, x)
+
+    trans = zoom_trans(out["trans"], zf.as_array(), True, False)  # un-zoom (B, 3)
+    pose_new = RT_transform(pose, out["rot"], trans, t_means, t_stds, ecfg.rot_coord)
+
+    aux = {
+        "net": out,
+        "rot": out["rot"],
+        "trans": trans,
+        "zoom_trans": out["trans"],
+        "zoom_factor": zf,
+        "image_rendered": image_rendered,
+        "depth_rendered": depth_rendered,
+        "mask_rendered": mask_rendered,
+        "zoom_mask_gt_observed": z_mask_gt,
+        "zoom_image_observed": z_img_obs,
+        "zoom_image_rendered": z_img_rend,
+    }
+    return pose_new, aux
+
+
+def refine(
+    params: Any,
+    model: Any,
+    obs: Observation,
+    meshes: MeshBuffers,
+    pose0: jax.Array,
+    ecfg: EngineConfig,
+    num_iters: int | None = None,
+):
+    """Iterative refinement: `lax.scan` of refine_step (test_iter=4 default,
+    TEST.test_iter).  Returns (pose_final (B,3,4), poses (num_iters, B,3,4))
+    — all intermediate poses, matching pred_eval's per-iteration error tables
+    (tester.py:389-410)."""
+    n = num_iters if num_iters is not None else ecfg.num_iters
+
+    def step(pose, _):
+        pose_new, _aux = refine_step(params, model, obs, meshes, pose, ecfg)
+        return pose_new, pose_new
+
+    pose_final, poses = jax.lax.scan(step, pose0, None, length=n)
+    return pose_final, poses
