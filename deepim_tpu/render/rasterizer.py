@@ -6,13 +6,19 @@ refinement step instead of a host round-trip per sample per iteration
 (batch_updater_py_multi.py:183-229, tester.py:424-433).
 
 Pipeline (all static shapes, fully batched):
-  1. vertex transform + projection (MXU matmuls)
+  1. vertex transform + projection (batched matmuls)
   2. tile binning: per-face screen bbox -> per-tile face lists with a static
      cap, built with a cumsum-rank + scatter compaction (no host sync)
-  3. visibility pass: per tile, `lax.scan` over face chunks computing edge
-     functions and perspective-correct 1/z; z-buffer keeps the nearest face
-     id per pixel (a "visibility buffer")
-  4. deferred shading: one barycentric + perspective-correct color
+  3. active-tile compaction: per sample, only the top `active_tiles` tiles by
+     face count are rasterized (object-centric frames are mostly empty) and
+     the (batch, tile) pairs of ALL samples are flattened into ONE work list
+     so the z-buffer loop below is a single while_loop over face chunks, not
+     a vmapped loop per sample
+  4. visibility pass: while_loop over face chunks (trip count = max binned
+     count, not the static cap) computing edge functions and
+     perspective-correct 1/z; keeps the nearest face id per pixel
+     (a "visibility buffer")
+  5. deferred shading: one barycentric + perspective-correct color
      interpolation per *pixel* (not per face-pixel pair)
 
 Camera convention: derived from the reference's calibrated GL projection
@@ -22,11 +28,8 @@ v = fy*y/z + cy = i, and depth is the positive camera-frame z (the GL depth
 unprojection in render_py_multi.py:127-128 recovers the same quantity).
 Faces with any vertex outside (znear, zfar) are culled (the reference relies
 on GL clip planes with znear=0.25, zfar=6.0; objects never straddle them).
-No backface culling (GL default, render_py_multi.py:89-93 enables only
-depth test).  Depth test resolves to the nearest fragment (GL_LESS).
-
-The separate Pallas kernel (pallas_raster.py) consumes the same binning
-output; this XLA path is the portable reference and the CPU test target.
+No backface culling (GL default; render_py_multi.py:89-93 enables only the
+depth test).  The depth test resolves to the nearest fragment (GL_LESS).
 """
 from __future__ import annotations
 
@@ -43,12 +46,22 @@ _NEG = -1e30
 class RasterConfig:
     height: int = 480
     width: int = 640
-    tile_h: int = 8
-    tile_w: int = 128
+    tile_h: int = 32
+    tile_w: int = 32
     max_faces_per_tile: int = 512
     chunk: int = 32
     znear: float = 0.25
     zfar: float = 6.0
+    # Tiles rasterized per sample (top-k by binned face count); 0 = all tiles
+    # (exact for any scene; the default covers objects up to ~128 tiles).
+    active_tiles: int = 128
+    # Binning materializes a (tiles, faces) overlap mask per sample; for very
+    # large meshes process the batch in chunks of this size (0 = whole batch).
+    bin_batch_chunk: int = 0
+    # Soft budget (bytes) for the visibility pass's (work-items, chunk,
+    # pixels) temporaries; the face-chunk width shrinks automatically for
+    # large batch x active_tiles products.
+    vis_mem_budget: int = 2 << 30
 
     @property
     def tiles_y(self) -> int:
@@ -64,34 +77,25 @@ class RasterConfig:
 
 
 def project_vertices(vertices: jax.Array, pose: jax.Array, k: jax.Array):
-    """Transform model-frame vertices to camera frame and screen coords.
+    """Model-frame vertices -> screen coords, batched.
 
-    vertices: (V, 3); pose: (3, 4); k: (3, 3).
-    Returns (u, v, z): each (V,) with u = fx x/z + cx (pixel == index).
+    vertices: (B, V, 3); pose: (B, 3, 4); k: (B, 3, 3).
+    Returns (u, v, z): each (B, V) with u = fx x/z + cx (pixel == index).
     """
-    r, t = pose[:, :3], pose[:, 3]
-    cam = vertices @ r.T + t  # (V, 3)
-    z = cam[:, 2]
+    r, t = pose[..., :3], pose[..., 3]
+    cam = jnp.einsum("bij,bvj->bvi", r, vertices) + t[:, None, :]
+    z = cam[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    u = k[0, 0] * cam[:, 0] / zs + k[0, 1] * cam[:, 1] / zs + k[0, 2]
-    v = k[1, 1] * cam[:, 1] / zs + k[1, 2]
+    u = (k[:, 0:1, 0] * cam[..., 0] + k[:, 0:1, 1] * cam[..., 1]) / zs + k[:, 0:1, 2]
+    v = k[:, 1:2, 1] * cam[..., 1] / zs + k[:, 1:2, 2]
     return u, v, z
 
 
-def _gather_face_corners(u, v, z, faces):
-    """faces: (F, 3) -> per-corner screen coords (F, 3) each."""
-    fu = u[faces]  # (F, 3)
-    fv = v[faces]
-    fz = z[faces]
-    return fu, fv, fz
-
-
 def bin_faces(fu, fv, valid, cfg: RasterConfig):
-    """Assign faces to the tiles their screen bbox overlaps.
+    """Assign faces to the tiles their screen bbox overlaps (one sample).
 
-    Returns (tile_faces (T, K) int32 face ids, -1 padded; tile_counts (T,)).
-    Compaction: per tile, rank faces by cumulative count of overlapping faces
-    and scatter face ids into their slot (drop overflow beyond K).
+    fu, fv: (F, 3); valid: (F,).  Returns (tile_faces (T, K) int32 face ids,
+    -1 padded; tile_counts (T,)).
     """
     t_y, t_x, k_cap = cfg.tiles_y, cfg.tiles_x, cfg.max_faces_per_tile
     n_tiles = t_y * t_x
@@ -102,7 +106,6 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
     vmin = jnp.min(fv, axis=1)
     vmax = jnp.max(fv, axis=1)
 
-    # Tile index ranges covered by the bbox (pixel centers at integer coords).
     bx0 = jnp.clip(jnp.floor(umin / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
     bx1 = jnp.clip(jnp.floor(umax / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
     by0 = jnp.clip(jnp.floor(vmin / cfg.tile_h), 0, t_y - 1).astype(jnp.int32)
@@ -118,7 +121,7 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
         & (ty >= by0[None, :]) & (ty <= by1[None, :])
     )  # (T, F)
 
-    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1)  # (T, F)
+    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1)
     counts = jnp.minimum(rank[:, -1], k_cap)
     slot = rank - 1
     in_cap = overlap & (slot < k_cap)
@@ -134,48 +137,53 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
     return tile_faces, counts
 
 
+def _bin_batch(fu, fv, valid, cfg: RasterConfig):
+    """Batched binning: (B, F, 3) -> tile_faces (B, T, K), counts (B, T)."""
+    vbin = jax.vmap(partial(bin_faces, cfg=cfg))
+    if cfg.bin_batch_chunk and fu.shape[0] > cfg.bin_batch_chunk:
+        b = fu.shape[0]
+        c = cfg.bin_batch_chunk
+        assert b % c == 0, (b, c)
+        fu_c = fu.reshape(b // c, c, *fu.shape[1:])
+        fv_c = fv.reshape(b // c, c, *fv.shape[1:])
+        va_c = valid.reshape(b // c, c, *valid.shape[1:])
+        tf, cnt = jax.lax.map(lambda args: vbin(*args), (fu_c, fv_c, va_c))
+        return tf.reshape(b, *tf.shape[2:]), cnt.reshape(b, *cnt.shape[2:])
+    return vbin(fu, fv, valid)
+
+
 def _edge(ax, ay, bx, by, px, py):
     """Signed area of (a, b, p): >0 when p is left of a->b."""
     return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
 
 
-def _visibility_pass(fu, fv, fq, valid, tile_faces, cfg: RasterConfig):
-    """Per-tile z-buffer over binned faces -> best face id and 1/z per pixel.
+def _visibility_pass(fu_flat, fv_flat, fq_flat, tile_faces_g, counts, tile_py, tile_px, cfg):
+    """Single while_loop z-buffer over the flattened (batch x active-tile)
+    work list.
 
-    fu, fv: (F, 3) screen corners; fq: (F, 3) = 1/z per corner;
-    tile_faces: (T, K).  Returns (best_face (T, P) int32, best_q (T, P)).
+    fu_flat/fv_flat/fq_flat: (B*F, 3) with invalid faces pre-poisoned;
+    tile_faces_g: (W, K) GLOBAL face ids (-1 padded); counts: (W,);
+    tile_py/tile_px: (W, P) pixel coords.  Returns (best_f (W, P) global ids,
+    best_q (W, P)).
     """
-    th, tw = cfg.tile_h, cfg.tile_w
-    p = th * tw
-    n_tiles, k_cap = tile_faces.shape
-    n_chunks = k_cap // cfg.chunk
+    w_items, k_cap = tile_faces_g.shape
+    p = tile_py.shape[1]
+    # ~8 (W, C, P) fp32 temporaries live in the chunk body; clamp C to budget.
+    chunk = max(1, min(cfg.chunk, int(cfg.vis_mem_budget // (8 * 4 * w_items * p))))
+    n_chunks_needed = (jnp.max(counts) + chunk - 1) // chunk
 
-    ty = jax.lax.broadcasted_iota(jnp.int32, (cfg.tiles_y, cfg.tiles_x), 0).reshape(-1)
-    tx = jax.lax.broadcasted_iota(jnp.int32, (cfg.tiles_y, cfg.tiles_x), 1).reshape(-1)
-    py = (
-        ty[:, None] * th
-        + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).reshape(1, p)
-    ).astype(fu.dtype)  # (T, P) pixel v coords
-    px = (
-        tx[:, None] * tw
-        + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).reshape(1, p)
-    ).astype(fu.dtype)
-
-    chunked = tile_faces.reshape(n_tiles, n_chunks, cfg.chunk)
-    chunked = jnp.moveaxis(chunked, 1, 0)  # (n_chunks, T, C)
-
-    def chunk_step(carry, face_idx):
-        best_q, best_f = carry  # (T, P), (T, P)
-        fid = jnp.maximum(face_idx, 0)  # (T, C)
-        live = (face_idx >= 0) & valid[fid]
-        u = fu[fid]  # (T, C, 3)
-        v = fv[fid]
-        q = fq[fid]
+    def chunk_body(state):
+        step, best_q, best_f = state
+        face_idx = jax.lax.dynamic_slice(tile_faces_g, (0, step * chunk), (w_items, chunk))
+        fid = jnp.maximum(face_idx, 0)
+        live = face_idx >= 0
+        u = fu_flat[fid]  # (W, C, 3)
+        v = fv_flat[fid]
+        q = fq_flat[fid]
         u0, u1, u2 = u[..., 0], u[..., 1], u[..., 2]
         v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
-        area = _edge(u0, v0, u1, v1, u2, v2)  # (T, C)
-        # Per-pixel edge functions: (T, C, P).
-        pxb, pyb = px[:, None, :], py[:, None, :]
+        area = _edge(u0, v0, u1, v1, u2, v2)  # (W, C)
+        pxb, pyb = tile_px[:, None, :], tile_py[:, None, :]
         w0 = _edge(u1[..., None], v1[..., None], u2[..., None], v2[..., None], pxb, pyb)
         w1 = _edge(u2[..., None], v2[..., None], u0[..., None], v0[..., None], pxb, pyb)
         w2 = _edge(u0[..., None], v0[..., None], u1[..., None], v1[..., None], pxb, pyb)
@@ -188,81 +196,68 @@ def _visibility_pass(fu, fv, fq, valid, tile_faces, cfg: RasterConfig):
         inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)[..., None]
         qi = (
             w0 * q[..., 0:1] + w1 * q[..., 1:2] + w2 * q[..., 2:3]
-        ) * inv_area  # (T, C, P) interpolated 1/z
+        ) * inv_area  # (W, C, P) interpolated 1/z
         qi = jnp.where(inside, qi, _NEG)
-        q_c = jnp.max(qi, axis=1)  # (T, P)
-        a_c = jnp.argmax(qi, axis=1)  # (T, P) winner within chunk
+        q_c = jnp.max(qi, axis=1)  # (W, P)
+        a_c = jnp.argmax(qi, axis=1)
         f_c = jnp.take_along_axis(fid, a_c, axis=1)
         upd = q_c > best_q
-        return (jnp.where(upd, q_c, best_q), jnp.where(upd, f_c, best_f)), None
+        return step + 1, jnp.where(upd, q_c, best_q), jnp.where(upd, f_c, best_f)
 
-    init = (jnp.full((n_tiles, p), _NEG, fu.dtype), jnp.full((n_tiles, p), -1, jnp.int32))
-    (best_q, best_f), _ = jax.lax.scan(chunk_step, init, chunked)
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.full((w_items, p), _NEG, fu_flat.dtype),
+        jnp.full((w_items, p), -1, jnp.int32),
+    )
+    _, best_q, best_f = jax.lax.while_loop(
+        lambda st: st[0] < n_chunks_needed, chunk_body, init
+    )
     return best_f, best_q
 
 
-def _deferred_shade(best_f, fu, fv, fq, fcol, cfg: RasterConfig):
-    """One perspective-correct interpolation per pixel from the visibility
-    buffer.  best_f: (T, P) -> rgb (H, W, 3), depth (H, W)."""
-    th, tw = cfg.tile_h, cfg.tile_w
-    h, w = cfg.height, cfg.width
-    t_y, t_x = cfg.tiles_y, cfg.tiles_x
+def _face_planes(fu, fv, fq, fcol):
+    """Screen-space plane coefficients per face.
 
-    # Untile to full-image layout.
-    img_f = (
-        best_f.reshape(t_y, t_x, th, tw).transpose(0, 2, 1, 3).reshape(t_y * th, t_x * tw)
-    )[:h, :w]
-    fid = jnp.maximum(img_f, 0)
-    hit = img_f >= 0
+    Every perspective-correct attribute (1/z and each color channel / z) is
+    affine in screen space; precomputing (a, b, c) with
+    attr(x, y) = a x + b y + c turns per-pixel shading into 2 FMAs per
+    attribute (no barycentrics, no corner gathers at pixel rate).
 
-    u = fu[fid]  # (H, W, 3)
-    v = fv[fid]
-    q = fq[fid]
-    c = fcol[fid]  # (H, W, 3 corners, 3 rgb)
-
-    pyy = jax.lax.broadcasted_iota(fu.dtype, (h, w), 0)
-    pxx = jax.lax.broadcasted_iota(fu.dtype, (h, w), 1)
-    u0, u1, u2 = u[..., 0], u[..., 1], u[..., 2]
-    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    fu/fv/fq: (N, 3); fcol: (N, 3, 3) -> (N, 4, 3): planes for
+    [q, r*q, g*q, b*q].
+    """
+    u0, u1, u2 = fu[:, 0], fu[:, 1], fu[:, 2]
+    v0, v1, v2 = fv[:, 0], fv[:, 1], fv[:, 2]
     area = _edge(u0, v0, u1, v1, u2, v2)
-    w0 = _edge(u1, v1, u2, v2, pxx, pyy)
-    w1 = _edge(u2, v2, u0, v0, pxx, pyy)
-    w2 = _edge(u0, v0, u1, v1, pxx, pyy)
-    inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
-    l0, l1, l2 = w0 * inv_area, w1 * inv_area, w2 * inv_area
-    qp = l0 * q[..., 0] + l1 * q[..., 1] + l2 * q[..., 2]
+    inv = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
+
+    def plane(val):  # (N, 3) corner values -> (N, 3) coeffs
+        d1 = val[:, 1] - val[:, 0]
+        d2 = val[:, 2] - val[:, 0]
+        a = (d1 * (v2 - v0) - d2 * (v1 - v0)) * inv
+        b = (d2 * (u1 - u0) - d1 * (u2 - u0)) * inv
+        c = val[:, 0] - a * u0 - b * v0
+        return jnp.stack([a, b, c], axis=-1)
+
+    planes = [plane(fq)]
+    for ch in range(3):
+        planes.append(plane(fcol[:, :, ch] * fq))
+    return jnp.stack(planes, axis=1)  # (N, 4, 3)
+
+
+def _shade_tiles(best_f, planes_flat, px, py):
+    """Shade the compacted tile pixels from the visibility buffer.
+
+    best_f: (W, P) global face ids; planes_flat: (N, 4, 3); px/py: (W, P).
+    Returns rgb (W, P, 3), depth (W, P)."""
+    fid = jnp.maximum(best_f, 0)
+    hit = best_f >= 0
+    pc = planes_flat[fid]  # (W, P, 4, 3)
+    vals = pc[..., 0] * px[..., None] + pc[..., 1] * py[..., None] + pc[..., 2]  # (W, P, 4)
+    qp = vals[..., 0]
     qp = jnp.where(jnp.abs(qp) < 1e-12, 1e-12, qp)
     depth = jnp.where(hit, 1.0 / qp, 0.0)
-    # Perspective-correct vertex colors: (sum l c q) / (sum l q).
-    num = (
-        l0[..., None] * c[..., 0, :] * q[..., 0, None]
-        + l1[..., None] * c[..., 1, :] * q[..., 1, None]
-        + l2[..., None] * c[..., 2, :] * q[..., 2, None]
-    )
-    rgb = jnp.where(hit[..., None], num / qp[..., None], 0.0)
-    return rgb, depth
-
-
-def rasterize_single(
-    vertices: jax.Array,
-    colors: jax.Array,
-    faces: jax.Array,
-    face_valid: jax.Array,
-    pose: jax.Array,
-    k: jax.Array,
-    cfg: RasterConfig,
-):
-    """Render one mesh at one pose.  Returns (rgb (H, W, 3) in [0, 255],
-    depth (H, W) metric camera z, 0 = background)."""
-    u, v, z = project_vertices(vertices, pose, k)
-    fu, fv, fz = _gather_face_corners(u, v, z, faces)
-    in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=1)
-    valid = face_valid & in_range
-    fq = 1.0 / jnp.where(jnp.abs(fz) < 1e-12, 1e-12, fz)
-    fcol = colors[faces]  # (F, 3, 3)
-    tile_faces, _ = bin_faces(fu, fv, valid, cfg)
-    best_f, _ = _visibility_pass(fu, fv, fq, valid, tile_faces, cfg)
-    rgb, depth = _deferred_shade(best_f, fu, fv, fq, fcol, cfg)
+    rgb = jnp.where(hit[..., None], vals[..., 1:4] / qp[..., None], 0.0)
     return rgb, depth
 
 
@@ -284,15 +279,95 @@ def rasterize(
     Per-class mesh selection happens upstream by gathering a MeshBank with
     class indices (replaces per-class gloo programs, render_py_multi.py:66-81).
     """
-    kb = jnp.broadcast_to(k, (poses.shape[0], 3, 3)) if k.ndim == 2 else k
+    b, nv, _ = vertices.shape
+    nf = faces.shape[1]
+    t = cfg.num_tiles
+    p = cfg.tile_h * cfg.tile_w
+    kb = jnp.broadcast_to(k, (b, 3, 3)) if k.ndim == 2 else k
 
-    def one(args):
-        verts, cols, fcs, fvalid, pose, kk = args
-        return rasterize_single(verts, cols, fcs, fvalid, pose, kk, cfg)
+    u, v, z = project_vertices(vertices, poses, kb)  # (B, V)
+    fu = jnp.take_along_axis(u[:, :, None], faces, axis=1)  # (B, F, 3)
+    fv = jnp.take_along_axis(v[:, :, None], faces, axis=1)
+    fz = jnp.take_along_axis(z[:, :, None], faces, axis=1)
+    in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=2)
+    valid = face_valid & in_range
+    fq = 1.0 / jnp.where(jnp.abs(fz) < 1e-12, 1e-12, fz)
+    fcol = jnp.take_along_axis(colors[:, :, None, :], faces[..., None], axis=1)  # (B,F,3,3)
 
-    # lax.map over the batch bounds binning memory (the (T, F) overlap mask
-    # is materialized one sample at a time).
-    return jax.lax.map(one, (vertices, colors, faces, face_valid, poses, kb))
+    tile_faces, counts = _bin_batch(fu, fv, valid, cfg)  # (B, T, K), (B, T)
+
+    # Flatten faces across the batch so one work list covers all samples.
+    fu_flat = fu.reshape(b * nf, 3)
+    fv_flat = fv.reshape(b * nf, 3)
+    fq_flat = fq.reshape(b * nf, 3)
+    fcol_flat = fcol.reshape(b * nf, 3, 3)
+
+    a = cfg.active_tiles if cfg.active_tiles and cfg.active_tiles < t else t
+    if a < t:
+        cnt_top, tile_ids = jax.lax.top_k(counts, a)  # (B, A)
+    else:
+        tile_ids = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, t), 1), (b, t)
+        )
+        cnt_top = counts
+
+    batch_off = jax.lax.broadcasted_iota(jnp.int32, (b, a), 0)
+    tf_sel = jnp.take_along_axis(tile_faces, tile_ids[..., None], axis=1)  # (B, A, K)
+    tf_global = jnp.where(tf_sel >= 0, tf_sel + (batch_off * nf)[..., None], -1)
+    tf_global = tf_global.reshape(b * a, cfg.max_faces_per_tile)
+
+    dtype = fu.dtype
+    ty = (tile_ids // cfg.tiles_x).astype(dtype).reshape(b * a)
+    tx = (tile_ids % cfg.tiles_x).astype(dtype).reshape(b * a)
+    py = ty[:, None] * cfg.tile_h + jax.lax.broadcasted_iota(
+        dtype, (cfg.tile_h, cfg.tile_w), 0
+    ).reshape(1, p)
+    px = tx[:, None] * cfg.tile_w + jax.lax.broadcasted_iota(
+        dtype, (cfg.tile_h, cfg.tile_w), 1
+    ).reshape(1, p)
+
+    best_f, _ = _visibility_pass(
+        fu_flat, fv_flat, fq_flat, tf_global, cnt_top.reshape(b * a), py, px, cfg
+    )  # (B*A, P)
+
+    # Shade in the compacted tile domain (B*A*P pixels, not B*H*W).
+    planes_flat = _face_planes(fu_flat, fv_flat, fq_flat, fcol_flat)
+    rgb_t, depth_t = _shade_tiles(best_f, planes_flat, px, py)
+
+    # Scatter finished tiles back into the full (B, T, P) grid, then untile.
+    scatter_rows = (batch_off * t + tile_ids).reshape(b * a)
+
+    def untile(x, fill, channels=None):
+        shape = (b * t, p) + (() if channels is None else (channels,))
+        full = jnp.full(shape, fill, x.dtype).at[scatter_rows].set(x)
+        ch = () if channels is None else (channels,)
+        out = (
+            full.reshape(b, cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, *ch)
+            .transpose(0, 1, 3, 2, 4, *(range(5, 5 + len(ch))))
+            .reshape(b, cfg.tiles_y * cfg.tile_h, cfg.tiles_x * cfg.tile_w, *ch)
+        )
+        return out[:, : cfg.height, : cfg.width]
+
+    rgb = untile(rgb_t, 0.0, 3)
+    depth = untile(depth_t, 0.0)
+    return rgb, depth
+
+
+def rasterize_single(
+    vertices: jax.Array,
+    colors: jax.Array,
+    faces: jax.Array,
+    face_valid: jax.Array,
+    pose: jax.Array,
+    k: jax.Array,
+    cfg: RasterConfig,
+):
+    """Render one mesh at one pose.  Returns (rgb (H, W, 3) in [0, 255],
+    depth (H, W) metric camera z, 0 = background)."""
+    rgb, depth = rasterize(
+        vertices[None], colors[None], faces[None], face_valid[None], pose[None], k, cfg
+    )
+    return rgb[0], depth[0]
 
 
 def render_mask(depth: jax.Array, thresh: float = 0.2) -> jax.Array:
