@@ -1,0 +1,152 @@
+"""Host data loaders with background prefetch.
+
+Replaces deepim/core/loader.py (TrainDataLoader :111-360, TestDataLoader
+:17-108) and lib/utils/PrefetchingIter.py.  The reference builds per-GPU
+ndarray lists with a multiprocessing.Pool and a one-batch-ahead prefetch
+thread; here a thread pool decodes samples (cv2 releases the GIL) and a
+bounded queue keeps N batches in flight.  Batches are plain numpy pytrees —
+device placement/sharding happens in the training driver
+(parallel.shard_pytree_batch).
+
+Unlike the reference loader, no rendered images/depths and no flow labels
+are loaded or computed on host: the engine renders and refreshes labels on
+device (SURVEY.md §7.1), so the host side only decodes the observed data.
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator
+
+import numpy as np
+
+from deepim_tpu.config import Config
+from deepim_tpu.data.preprocess import VOCBackgrounds, make_test_sample, make_train_sample
+from deepim_tpu.engine.train import TrainBatch
+
+
+def _stack(samples: list[dict[str, np.ndarray]], key: str) -> np.ndarray:
+    return np.stack([s[key] for s in samples])
+
+
+class TrainLoader:
+    """Shuffled, epoch-based training batches."""
+
+    def __init__(
+        self,
+        pairdb: list[dict],
+        cfg: Config,
+        points_by_class: dict[str, np.ndarray],
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 2,
+        prefetch: int = 2,
+    ):
+        self.pairdb = pairdb
+        self.cfg = cfg
+        self.points_by_class = points_by_class
+        self.batch_size = batch_size
+        self.class_name = list(cfg.dataset.class_name)
+        self.k = cfg.dataset.intrinsic_matrix()
+        self.rng = random.Random(seed)
+        self.nprng = np.random.RandomState(seed)
+        self.voc = VOCBackgrounds(cfg.dataset.root_path)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.prefetch = prefetch
+
+    @property
+    def epoch_size(self) -> int:
+        return len(self.pairdb) // self.batch_size
+
+    def _make_sample(self, rec: dict) -> dict[str, np.ndarray]:
+        s = make_train_sample(
+            rec, self.cfg, self.points_by_class[rec["gt_class"]], self.rng, self.nprng, self.voc
+        )
+        s["class_index"] = np.int32(self.class_name.index(rec["gt_class"]))
+        return s
+
+    def _assemble(self, recs: list[dict]) -> TrainBatch:
+        samples = list(self.pool.map(self._make_sample, recs))
+        has_pm = "points_model" in samples[0]
+        has_depth = "depth_observed" in samples[0]
+        return TrainBatch(
+            image_observed=_stack(samples, "image_observed"),
+            mask_observed=_stack(samples, "mask_observed"),
+            mask_gt_observed=_stack(samples, "mask_gt_observed"),
+            depth_gt_observed=_stack(samples, "depth_gt_observed"),
+            pose_rendered=_stack(samples, "pose_rendered"),
+            pose_observed=_stack(samples, "pose_observed"),
+            class_index=_stack(samples, "class_index"),
+            points_model=_stack(samples, "points_model") if has_pm else np.zeros((len(samples), 1, 3), np.float32),
+            points_weights=_stack(samples, "points_weights") if has_pm else np.zeros((len(samples), 1), np.float32),
+            k=self.k,
+            depth_observed=_stack(samples, "depth_observed") if has_depth else None,
+        )
+
+    def epoch(self) -> Iterator[TrainBatch]:
+        """One shuffled epoch with background prefetch (PrefetchingIter.py:34-69)."""
+        order = list(range(len(self.pairdb)))
+        if self.cfg.TRAIN.SHUFFLE:
+            self.rng.shuffle(order)
+        n_batches = self.epoch_size
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            for bi in range(n_batches):
+                recs = [self.pairdb[order[bi * self.batch_size + j]] for j in range(self.batch_size)]
+                q.put(self._assemble(recs))
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
+class TestLoader:
+    """Ordered test batches; the last batch is padded to full size with
+    repeats (returns the number of valid samples alongside).  Replaces the
+    batch-1-per-GPU TestDataLoader (loader.py:17-108)."""
+
+    __test__ = False  # not a pytest class
+
+    def __init__(self, pairdb: list[dict], cfg: Config, batch_size: int, num_workers: int = 2):
+        self.pairdb = pairdb
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.class_name = list(cfg.dataset.class_name)
+        self.k = cfg.dataset.intrinsic_matrix()
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self) -> int:
+        return -(-len(self.pairdb) // self.batch_size)
+
+    def _make_sample(self, rec: dict) -> dict[str, np.ndarray]:
+        s = make_test_sample(rec, self.cfg)
+        s["class_index"] = np.int32(self.class_name.index(rec["gt_class"]))
+        return s
+
+    def batches(self) -> Iterator[tuple[dict[str, Any], int]]:
+        n = len(self.pairdb)
+        for start in range(0, n, self.batch_size):
+            recs = [self.pairdb[min(start + j, n - 1)] for j in range(self.batch_size)]
+            valid = min(self.batch_size, n - start)
+            samples = list(self.pool.map(self._make_sample, recs))
+            batch = {
+                "image_observed": _stack(samples, "image_observed"),
+                "mask_observed": _stack(samples, "mask_observed"),
+                "pose_rendered": _stack(samples, "pose_rendered"),
+                "pose_observed": _stack(samples, "pose_observed"),
+                "class_index": _stack(samples, "class_index"),
+                "k": self.k,
+            }
+            if "depth_observed" in samples[0]:
+                batch["depth_observed"] = _stack(samples, "depth_observed")
+            yield batch, valid

@@ -1,0 +1,250 @@
+"""Host-side sample preprocessing: image/depth/mask loading, mask strategies,
+VOC background substitution, model-point sampling.
+
+Re-implements lib/utils/image.py (get_pair_image :58-163, get_gt_observed_depth
+:166-187, get_pair_depth :190-227, get_pair_mask :230-399, point sampling
+:452-485) and lib/utils/mask_dilate.py.  Differences from the reference:
+
+* images are RGB (not BGR) — the whole new stack is RGB-consistent, with
+  PIXEL_MEANS given in RGB order;
+* rendered color images are NOT loaded: the engine re-renders on device from
+  pose_rendered with the TPU rasterizer (the stored rendered images exist
+  only for parity/debug);
+* output layout is NCHW float32 numpy, one batch at a time.
+"""
+from __future__ import annotations
+
+import os
+import random
+
+import cv2
+import numpy as np
+
+from deepim_tpu.config import Config
+
+
+def resize_to(im: np.ndarray, target_size: int, max_size: int) -> tuple[np.ndarray, float]:
+    """Scale so the short side == target_size, capped by max_size on the long
+    side (lib/utils/image.py:552-580)."""
+    h, w = im.shape[:2]
+    short, long_ = min(h, w), max(h, w)
+    scale = float(target_size) / short
+    if round(scale * long_) > max_size:
+        scale = float(max_size) / long_
+    if scale == 1.0:
+        return im, 1.0
+    out = cv2.resize(im, None, None, fx=scale, fy=scale, interpolation=cv2.INTER_LINEAR)
+    return out, scale
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    im = cv2.imread(path, cv2.IMREAD_COLOR)
+    assert im is not None, path
+    return im[:, :, ::-1].astype(np.float32)  # BGR -> RGB
+
+
+def load_depth(path: str, depth_factor: float) -> np.ndarray:
+    d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    assert d is not None, path
+    return d.astype(np.float32) / depth_factor
+
+
+def load_label_mask(path: str, mask_idx: int) -> np.ndarray:
+    m = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    assert m is not None, path
+    return (m == mask_idx).astype(np.float32)
+
+
+def min_rect(mask: np.ndarray) -> tuple[int, int, int, int]:
+    """(x_start, y_start, x_end, y_end) of the nonzero region
+    (lib/utils/get_min_rect.py:9-23)."""
+    nz_y, nz_x = np.nonzero(mask)
+    return int(nz_x.min()), int(nz_y.min()), int(nz_x.max()), int(nz_y.max())
+
+
+def box_mask_from(mask: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(mask)
+    if mask.any():
+        x0, y0, x1, y1 = min_rect(mask)
+        out[y0:y1, x0:x1] = 1.0  # [start, end) as in the reference
+    return out
+
+
+def mask_dilate_np(mask: np.ndarray, rng: random.Random, max_thickness: int = 10) -> np.ndarray:
+    """Random directional dilation (lib/utils/mask_dilate.py:10-47)."""
+    direction = rng.randrange(10)
+    out = mask.copy()
+
+    def expand(m, t, axis, sign):
+        if axis == 0 and sign > 0:
+            out[t:, :] = np.maximum(out[t:, :], m[:-t, :])
+        elif axis == 0:
+            out[:-t, :] = np.maximum(out[:-t, :], m[t:, :])
+        elif sign > 0:
+            out[:, t:] = np.maximum(out[:, t:], m[:, :-t])
+        else:
+            out[:, :-t] = np.maximum(out[:, :-t], m[:, t:])
+
+    if direction not in (0, 1, 4):
+        expand(mask, rng.randrange(max_thickness) + 1, 0, +1)
+    if direction not in (1, 2, 5):
+        expand(mask, rng.randrange(max_thickness) + 1, 0, -1)
+    if direction not in (2, 3, 6):
+        expand(mask, rng.randrange(max_thickness) + 1, 1, +1)
+    if direction not in (0, 3, 7):
+        expand(mask, rng.randrange(max_thickness) + 1, 1, -1)
+    return np.clip(out, 0, 1)
+
+
+class VOCBackgrounds:
+    """VOC2012 background pool for synthetic observed images
+    (lib/utils/image.py:97-155)."""
+
+    def __init__(self, root_path: str):
+        self.voc_root = os.path.join(root_path, "VOCdevkit/VOC2012")
+        list_path = os.path.join(self.voc_root, "ImageSets/Main/diningtable_trainval.txt")
+        self.bg_list: list[str] = []
+        if os.path.exists(list_path):
+            with open(list_path) as f:
+                for line in f:
+                    parts = line.strip().split()
+                    if len(parts) == 2 and parts[1] == "1":
+                        self.bg_list.append(parts[0])
+
+    def replace_background(self, im_observed: np.ndarray, fg_mask: np.ndarray, rng: random.Random) -> np.ndarray:
+        if not self.bg_list:
+            return im_observed
+        h, w = im_observed.shape[:2]
+        idx = self.bg_list[rng.randrange(len(self.bg_list))]
+        bg = cv2.imread(os.path.join(self.voc_root, f"JPEGImages/{idx}.jpg"), cv2.IMREAD_COLOR)
+        if bg is None:
+            return im_observed
+        bg = bg[:, :, ::-1].astype(np.float32)
+        ratio = h / w
+        bh, bw = bg.shape[:2]
+        # Crop bg to the observed aspect then resize (image.py:117-146).
+        if bh >= bw * ratio:
+            bg = bg[: int(np.ceil(bw * ratio)), :bw]
+        else:
+            bg = bg[:bh, : int(np.ceil(bh / ratio))]
+        bg = cv2.resize(bg, (w, h), interpolation=cv2.INTER_LINEAR)
+        out = bg.copy()
+        fg = fg_mask > 0
+        out[fg] = im_observed[fg]
+        return out
+
+
+def sample_model_points(points: np.ndarray, num_sample: int, rng: np.random.RandomState):
+    """Random NUM_3D_SAMPLE point subset, zero-padded, with weights
+    (lib/utils/image.py:452-478)."""
+    n = points.shape[0]
+    keep = min(n, num_sample)
+    idx = rng.permutation(n)[:keep]
+    out = np.zeros((num_sample, 3), np.float32)
+    out[:keep] = points[idx]
+    weights = np.zeros((num_sample,), np.float32)
+    weights[:keep] = 1.0
+    return out, weights
+
+
+def make_train_sample(
+    pair_rec: dict,
+    cfg: Config,
+    points: np.ndarray,
+    rng: random.Random,
+    nprng: np.random.RandomState,
+    voc: VOCBackgrounds | None = None,
+) -> dict[str, np.ndarray]:
+    """Build one training sample (numpy, NCHW) from a pair record.
+
+    Combines data_pair.get_data_pair_train_batch (lib/pair_matching/
+    data_pair.py:135-248) with the image.py loaders; the rendered side and
+    all labels that depend on it (flow, delta pose) are produced on-device by
+    the training engine.
+    """
+    target_size, max_size = cfg.SCALES[0]
+    im_obs = load_image_rgb(pair_rec["image_observed"])
+    im_obs, _ = resize_to(im_obs, target_size, max_size)
+
+    mask_gt = load_label_mask(pair_rec["mask_gt_observed"], pair_rec["mask_idx"])
+    if pair_rec.get("data_syn", False) or (
+        voc is not None and cfg.TRAIN.REPLACE_OBSERVED_BG_RATIO > 0
+        and rng.random() < cfg.TRAIN.REPLACE_OBSERVED_BG_RATIO
+    ):
+        if voc is not None:
+            im_obs = voc.replace_background(im_obs, mask_gt, rng)
+
+    mask_gt_r, _ = resize_to(mask_gt, target_size, max_size)
+    mask_gt_r = (mask_gt_r >= 0.5).astype(np.float32)
+
+    # INIT_MASK strategy (image.py:263-292).
+    if cfg.TRAIN.INIT_MASK == "mask_gt":
+        mask_obs = mask_gt_r.copy()
+    elif cfg.TRAIN.INIT_MASK == "box_gt":
+        mask_obs = box_mask_from(mask_gt_r)
+    elif cfg.TRAIN.INIT_MASK == "box_rendered":
+        depth_rend = load_depth(pair_rec["depth_rendered"], cfg.dataset.DEPTH_FACTOR)
+        depth_rend, _ = resize_to(depth_rend, target_size, max_size)
+        mask_obs = box_mask_from((depth_rend > 0.2).astype(np.float32))
+    else:
+        raise ValueError(f"Unknown INIT_MASK {cfg.TRAIN.INIT_MASK}")
+    if cfg.TRAIN.MASK_DILATE:
+        mask_obs = mask_dilate_np(mask_obs, rng)
+
+    depth_gt_obs = load_depth(pair_rec["depth_gt_observed"], cfg.dataset.DEPTH_FACTOR)
+    depth_gt_obs, _ = resize_to(depth_gt_obs, target_size, max_size)
+
+    sample = {
+        "image_observed": im_obs.transpose(2, 0, 1),  # (3, H, W) raw RGB
+        "mask_observed": mask_obs[None],
+        "mask_gt_observed": mask_gt_r[None],
+        "depth_gt_observed": depth_gt_obs,
+        "pose_rendered": np.asarray(pair_rec["pose_rendered"], np.float32),
+        "pose_observed": np.asarray(pair_rec["pose_observed"], np.float32),
+        "class_index": np.int32(0),  # filled by the loader (class-name table)
+    }
+    if cfg.network.INPUT_DEPTH:
+        d_obs = load_depth(pair_rec["depth_observed"], cfg.dataset.DEPTH_FACTOR)
+        d_obs, _ = resize_to(d_obs, target_size, max_size)
+        sample["depth_observed"] = d_obs[None]
+    if cfg.train_iter.SE3_PM_LOSS:
+        pts, w = sample_model_points(points, cfg.train_iter.NUM_3D_SAMPLE, nprng)
+        sample["points_model"] = pts
+        sample["points_weights"] = w
+    return sample
+
+
+def make_test_sample(pair_rec: dict, cfg: Config) -> dict[str, np.ndarray]:
+    """Build one test sample.  The observed mask follows TEST.INIT_MASK; the
+    'box_rendered' default is reproduced on-device by the refine engine each
+    iteration, so only strategies that need observed-side files are loaded
+    here (image.py:297-378)."""
+    target_size, max_size = cfg.SCALES[0]
+    im_obs = load_image_rgb(pair_rec["image_observed"])
+    im_obs, _ = resize_to(im_obs, target_size, max_size)
+    h, w = im_obs.shape[:2]
+
+    init = cfg.TEST.INIT_MASK
+    if init in ("mask_gt_observed", "box_gt_observed"):
+        m = load_label_mask(pair_rec["mask_gt_observed"], pair_rec["mask_idx"])
+        m, _ = resize_to(m, target_size, max_size)
+        m = (m >= 0.5).astype(np.float32)
+        mask_obs = box_mask_from(m) if init.startswith("box") else m
+    elif init in ("box_rendered", "init"):
+        # Engine recomputes from the on-device render; placeholder here.
+        mask_obs = np.ones((h, w), np.float32)
+    else:
+        raise ValueError(f"Unsupported TEST.INIT_MASK {init}")
+
+    sample = {
+        "image_observed": im_obs.transpose(2, 0, 1),
+        "mask_observed": mask_obs[None],
+        "pose_rendered": np.asarray(pair_rec["pose_rendered"], np.float32),
+        "pose_observed": np.asarray(pair_rec["pose_observed"], np.float32),
+        "class_index": np.int32(0),
+    }
+    if cfg.network.INPUT_DEPTH:
+        d_obs = load_depth(pair_rec["depth_observed"], cfg.dataset.DEPTH_FACTOR)
+        d_obs, _ = resize_to(d_obs, target_size, max_size)
+        sample["depth_observed"] = d_obs[None]
+    return sample

@@ -1,0 +1,74 @@
+"""Checkpoint save/load/resume via Orbax.
+
+Replaces the reference's per-epoch MXNet checkpointing: save_checkpoint
+writes prefix-symbol.json + prefix-%04d.params + .states
+(deepim/core/module.py:120-188) with resume via TRAIN.RESUME + load_param
+(deepim/train.py:177-179) and optimizer-state preload
+(module.py:571-573,961-970).  Here one Orbax checkpoint per epoch holds
+{params, opt_state, step}; legacy param-name migration (the reference's
+_i2r/_test renames, module.py:150-158) is supported via a rename map.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from deepim_tpu.engine.train import TrainState
+
+
+def checkpoint_dir(prefix: str) -> str:
+    return os.path.abspath(prefix + "_ckpt")
+
+
+def save_checkpoint(prefix: str, epoch: int, state: TrainState) -> str:
+    """Write checkpoint for `epoch` under <prefix>_ckpt/<epoch>."""
+    path = os.path.join(checkpoint_dir(prefix), str(epoch))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {"params": state.params, "opt_state": state.opt_state, "step": np.asarray(state.step)})
+    return path
+
+
+def load_checkpoint(prefix: str, epoch: int, state_like: TrainState, rename_map: dict[str, str] | None = None) -> TrainState:
+    """Restore the checkpoint saved for `epoch`.
+
+    rename_map applies substring renames to parameter path names (legacy
+    checkpoint migration, module.py:150-158)."""
+    path = os.path.join(checkpoint_dir(prefix), str(epoch))
+    ckptr = ocp.PyTreeCheckpointer()
+    target = {
+        "params": state_like.params,
+        "opt_state": state_like.opt_state,
+        "step": np.asarray(state_like.step),
+    }
+    restored = ckptr.restore(path, item=target)
+    params = restored["params"]
+    if rename_map:
+        flat = jax.tree_util.tree_flatten_with_path(params)
+        # Renames operate on checkpoints saved under old layer names; apply
+        # by rebuilding the dict keys.
+        params = _rename_tree(params, rename_map)
+    return TrainState(params=params, opt_state=restored["opt_state"], step=restored["step"])
+
+
+def _rename_tree(tree: Any, rename_map: dict[str, str]) -> Any:
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            nk = k
+            for old, new in rename_map.items():
+                nk = nk.replace(old, new)
+            out[nk] = _rename_tree(v, rename_map)
+        return out
+    return tree
+
+
+def latest_epoch(prefix: str) -> int | None:
+    d = checkpoint_dir(prefix)
+    if not os.path.isdir(d):
+        return None
+    epochs = [int(x) for x in os.listdir(d) if x.isdigit()]
+    return max(epochs) if epochs else None

@@ -55,6 +55,7 @@ def parse_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray
     LINEMOD 'textured.obj' assets.
     """
     verts: list[list[float]] = []
+    vcols: list[list[float]] = []
     texs: list[list[float]] = []
     faces_v: list[list[int]] = []
     faces_vt: list[list[int]] = []
@@ -63,6 +64,8 @@ def parse_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray
             if line.startswith("v "):
                 p = line.split()
                 verts.append([float(p[1]), float(p[2]), float(p[3])])
+                if len(p) >= 7:  # 'v x y z r g b' vertex-color extension
+                    vcols.append([float(p[4]), float(p[5]), float(p[6])])
             elif line.startswith("vt "):
                 p = line.split()
                 texs.append([float(p[1]), float(p[2])])
@@ -82,7 +85,12 @@ def parse_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray
     vt = np.asarray(texs, np.float32) if texs else np.zeros((1, 2), np.float32)
     fv = np.asarray(faces_v, np.int32)
     fvt = np.asarray(faces_vt, np.int32)
-    return v, vt, fv, fvt, np.zeros((0, 3), np.float32)
+    vc = (
+        np.asarray(vcols, np.float32)
+        if len(vcols) == len(verts)
+        else np.zeros((0, 3), np.float32)
+    )
+    return v, vt, fv, fvt, vc
 
 
 def _sample_texture(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
@@ -111,9 +119,14 @@ def load_textured_mesh(model_dir: str, obj_name: str = "textured.obj", tex_name:
     into a vertex-colored Mesh (render_py_multi.py:69-81 equivalent)."""
     import cv2
 
-    v, vt, fv, fvt, _ = parse_obj(os.path.join(model_dir, obj_name))
+    v, vt, fv, fvt, vc = parse_obj(os.path.join(model_dir, obj_name))
     tex_path = os.path.join(model_dir, tex_name)
-    if os.path.exists(tex_path):
+    if vc.shape[0] == v.shape[0] and not os.path.exists(tex_path):
+        # Vertex-colored OBJ (the toolkit's synthetic assets): colors are
+        # stored in [0, 1] per the common 'v x y z r g b' extension.
+        scale = 255.0 if vc.max() <= 1.0 + 1e-6 else 1.0
+        colors = (vc * scale).astype(np.float32)
+    elif os.path.exists(tex_path):
         tex = cv2.imread(tex_path, cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR -> RGB
         # Average the texcoords used per vertex (a vertex may appear with
         # several uvs across faces; take the first occurrence).
@@ -128,6 +141,15 @@ def load_textured_mesh(model_dir: str, obj_name: str = "textured.obj", tex_name:
     else:
         colors = np.full((v.shape[0], 3), 128.0, np.float32)
     return Mesh(vertices=v, faces=fv, colors=colors)
+
+
+def write_obj(path: str, mesh: Mesh) -> None:
+    """Write a vertex-colored OBJ ('v x y z r g b', colors in [0, 1])."""
+    with open(path, "w") as f:
+        for p, c in zip(mesh.vertices, mesh.colors / 255.0):
+            f.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
+        for tri in mesh.faces:
+            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
 
 
 def make_colored_mesh(vertices: np.ndarray, faces: np.ndarray, colors: np.ndarray | None = None) -> Mesh:

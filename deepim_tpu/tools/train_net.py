@@ -1,0 +1,117 @@
+"""Training driver: the deepim/train.py:52-344 (train_net) equivalent.
+
+Loads pair databases for every dataset x image-set x class combination,
+builds the class-indexed mesh bank, compiles the dp-sharded train step over
+a device mesh and runs the epoch loop with per-epoch checkpointing and
+throughput logging.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepim_tpu.config import Config
+from deepim_tpu.data.loader import TrainLoader
+from deepim_tpu.data.pairdb import load_gt_pairdb, merge_pairdb
+from deepim_tpu.engine.checkpoint import save_checkpoint, load_checkpoint
+from deepim_tpu.engine.lr_schedule import lr_steps_from_config, warmup_multifactor_schedule
+from deepim_tpu.engine.refine import EngineConfig
+from deepim_tpu.engine.train import TrainState, make_optimizer, make_train_step
+from deepim_tpu.models import FlowNetDeepIM
+from deepim_tpu.parallel import jit_train_step_dp, make_mesh, replicate_pytree, shard_pytree_batch
+from deepim_tpu.render.mesh import MeshBank, load_textured_mesh
+from deepim_tpu.utils.logger import create_logger, logger
+from deepim_tpu.utils.speedometer import Speedometer
+
+
+def load_pairdbs(cfg: Config):
+    """Per (dataset x image_set x class) pairdbs, merged
+    (deepim/train.py:89-102)."""
+    datasets = cfg.dataset.dataset.split("+")
+    image_sets = cfg.dataset.image_set.split("+")
+    dbs, merged = [], []
+    for ds_name, iset in zip(datasets, image_sets):
+        for cls in cfg.dataset.class_name:
+            db, pairdb = load_gt_pairdb(
+                cfg, ds_name, iset + cls if iset.endswith("_") else iset,
+                cls, cfg.dataset.root_path, cfg.dataset.dataset_path,
+            )
+            dbs.append(db)
+            merged.append(pairdb)
+    return dbs, merge_pairdb(merged)
+
+
+def build_mesh_bank(cfg: Config) -> tuple:
+    meshes = [
+        load_textured_mesh(os.path.join(cfg.dataset.model_dir, cls))
+        for cls in cfg.dataset.class_name
+    ]
+    bank = MeshBank.from_meshes(meshes)
+    return (
+        jnp.asarray(bank.vertices), jnp.asarray(bank.colors),
+        jnp.asarray(bank.faces), jnp.asarray(bank.face_valid),
+    )
+
+
+def build_model(cfg: Config, dtype=jnp.bfloat16):
+    model = FlowNetDeepIM(
+        pred_flow=cfg.network.PRED_FLOW, pred_mask=cfg.network.PRED_MASK, dtype=dtype
+    )
+    channels = 6 + (2 if cfg.network.INPUT_DEPTH else 0) + (2 if cfg.network.INPUT_MASK else 0)
+    x = jnp.zeros((1, cfg.height, cfg.width, channels))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None = None) -> TrainState:
+    if output_dir is None:
+        output_dir = create_logger(cfg.output_path, cfg.TRAIN.model_prefix, cfg.dataset.image_set)
+    dbs, pairdb = load_pairdbs(cfg)
+    logger.info("num pairs: %d", len(pairdb))
+    points_by_class = {cls: dbs[0].points(cls) for cls in cfg.dataset.class_name}
+    bank_arrays = build_mesh_bank(cfg)
+
+    mesh = make_mesh(n_devices)
+    batch_size = cfg.TRAIN.BATCH_PAIRS * mesh.size
+    loader = TrainLoader(pairdb, cfg, points_by_class, batch_size)
+    epoch_size = loader.epoch_size
+
+    model, params = build_model(cfg)
+    schedule = warmup_multifactor_schedule(
+        cfg.TRAIN.lr,
+        lr_steps_from_config(cfg.TRAIN.lr_step, epoch_size * cfg.network.TRAIN_ITER_SIZE, cfg.TRAIN.begin_epoch),
+        warmup=cfg.TRAIN.warmup,
+        warmup_lr=cfg.TRAIN.warmup_lr,
+        warmup_step=cfg.TRAIN.warmup_step,
+    )
+    tx = make_optimizer(cfg, schedule)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    begin_epoch = cfg.TRAIN.begin_epoch
+    prefix = os.path.join(output_dir, cfg.TRAIN.model_prefix)
+    if cfg.TRAIN.RESUME and begin_epoch > 0:
+        state = load_checkpoint(prefix, begin_epoch, state)
+        logger.info("resumed from epoch %d (step %d)", begin_epoch, int(state.step))
+
+    ecfg = EngineConfig.from_config(cfg, train=True)
+    step_fn = make_train_step(model, tx, ecfg, cfg.train_iter, cfg.TRAIN.FLOW_WEIGHT_TYPE)
+
+    state_d = replicate_pytree(state, mesh)
+    bank_d = replicate_pytree(bank_arrays, mesh)
+    pstep = None
+    speedo = Speedometer(batch_size, frequent=20)
+
+    for epoch in range(begin_epoch, cfg.TRAIN.end_epoch):
+        for nbatch, batch in enumerate(loader.epoch()):
+            batch_d = shard_pytree_batch(batch, mesh)
+            if pstep is None:
+                pstep = jit_train_step_dp(step_fn, mesh, state_d, batch_d, bank_d)
+            state_d, metrics, _ = pstep(state_d, batch_d, bank_d)
+            speedo(epoch, nbatch, {k: float(np.asarray(v)[-1]) for k, v in metrics.items()})
+        save_checkpoint(prefix, epoch + 1, jax.device_get(state_d))
+        logger.info("saved checkpoint epoch %d", epoch + 1)
+    return jax.device_get(state_d)
