@@ -84,6 +84,10 @@ class TrainConfig:
     lr_step: str = "4, 6"
     momentum: float = 0.975
     wd: float = 0.0005
+    # Global-norm gradient clipping; 0 disables.  Not present in the
+    # reference (which always fine-tunes from pretrained FlowNet weights and
+    # never needs it); required for stable from-scratch training.
+    grad_clip: float = 0.0
     model_prefix: str = "deepim"
     RESUME: bool = False
     SHUFFLE: bool = True

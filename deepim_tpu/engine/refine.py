@@ -62,6 +62,9 @@ class EngineConfig:
 
     @staticmethod
     def from_config(cfg: Config, train: bool = False) -> "EngineConfig":
+        # The Pallas per-tile kernel is the production path on TPU; the pure
+        # XLA pipeline is used on CPU (tests) where Pallas runs interpreted.
+        use_pallas = jax.default_backend() == "tpu"
         return EngineConfig(
             height=cfg.height,
             width=cfg.width,
@@ -70,6 +73,7 @@ class EngineConfig:
                 width=cfg.width,
                 znear=cfg.dataset.ZNEAR,
                 zfar=cfg.dataset.ZFAR,
+                use_pallas=use_pallas,
             ),
             rot_coord=cfg.network.ROT_COORD,
             trans_means=cfg.dataset.trans_means,

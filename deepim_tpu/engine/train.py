@@ -60,11 +60,16 @@ class TrainState(NamedTuple):
 
 def make_optimizer(cfg: Config, schedule) -> optax.GradientTransformation:
     """SGD + momentum + weight decay (train.py:243-254; MXNet wd is L2 decay
-    folded into the gradient)."""
-    return optax.chain(
+    folded into the gradient), with optional global-norm clipping for
+    from-scratch training."""
+    parts = []
+    if cfg.TRAIN.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(cfg.TRAIN.grad_clip))
+    parts += [
         optax.add_decayed_weights(cfg.TRAIN.wd),
         optax.sgd(learning_rate=schedule, momentum=cfg.TRAIN.momentum),
-    )
+    ]
+    return optax.chain(*parts)
 
 
 def flow_weights_from_valid(valid: jax.Array, weight_type: str, depth_src: jax.Array) -> jax.Array:

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel for the rasterizer's per-tile z-buffer + shading loop.
+
+The XLA visibility pass (rasterizer._visibility_pass) runs a lockstep
+while_loop across every (batch, active-tile) work item: each step processes
+`chunk` faces for ALL tiles, so the trip count is the MAX binned face count.
+This kernel instead runs one grid step per tile with the face loop bounded by
+THAT tile's count (scalar-prefetched), with the z-buffer and color
+accumulators resident in registers/VMEM — total work drops from
+W x max(count) to sum(count) face-tile pairs, and there is no HBM traffic
+between face chunks.
+
+Per tile: the pre-gathered face records (K, 32) are DMA'd to VMEM by the
+grid pipeline; a fori_loop over the tile's face count evaluates 3 edge
+functions plus the 4 screen-space attribute planes (1/z and rgb/z, computed
+in rasterizer._face_planes) over the tile's pixels and keeps the nearest
+face's shaded color.
+
+Record layout (32 lanes, float32):
+  [0:6]  u0 v0 u1 v1 u2 v2   (screen corners)
+  [6]    sign(area) * validity  (0 for padded/degenerate faces)
+  [7]    unused
+  [8:11] q plane (a, b, c)
+  [11:14] r*q plane
+  [14:17] g*q plane
+  [17:20] b*q plane
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+REC_WIDTH = 32
+
+
+def build_face_records(fu, fv, planes, valid):
+    """Per-face record table (N, 32) from corner coords + attribute planes.
+
+    fu, fv: (N, 3); planes: (N, 4, 3); valid: (N,) bool.
+    """
+    n = fu.shape[0]
+    u0, u1, u2 = fu[:, 0], fu[:, 1], fu[:, 2]
+    v0, v1, v2 = fv[:, 0], fv[:, 1], fv[:, 2]
+    area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
+    s = jnp.where(valid & (jnp.abs(area) > 1e-12), jnp.sign(area), 0.0)
+    cols = [
+        u0, v0, u1, v1, u2, v2, s, jnp.zeros_like(s),
+        planes[:, 0, 0], planes[:, 0, 1], planes[:, 0, 2],
+        planes[:, 1, 0], planes[:, 1, 1], planes[:, 1, 2],
+        planes[:, 2, 0], planes[:, 2, 1], planes[:, 2, 2],
+        planes[:, 3, 0], planes[:, 3, 1], planes[:, 3, 2],
+    ]
+    rec = jnp.stack(cols, axis=1)  # (N, 20)
+    return jnp.pad(rec, ((0, 0), (0, REC_WIDTH - rec.shape[1])))
+
+
+def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, lanes):
+    """One grid step = one tile.  rec_ref: (1, K, 32) VMEM; out_ref:
+    (1, 4, P) [depth, r, g, b]."""
+    w = pl.program_id(0)
+    cnt = counts_ref[w]
+    x0 = txy_ref[w, 0].astype(jnp.float32)
+    y0 = txy_ref[w, 1].astype(jnp.float32)
+
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 0) * lanes
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 1)
+    )
+    px = x0 + (lin % tile_w).astype(jnp.float32)
+    py = y0 + (lin // tile_w).astype(jnp.float32)
+
+    neg = jnp.full((sub, lanes), -1e30, jnp.float32)
+    zero = jnp.zeros((sub, lanes), jnp.float32)
+
+    def body(i, state):
+        zq, dep, r, g, b = state
+        def at(j):  # scalar read from the SMEM-resident record block
+            return rec_ref[0, i, j]
+
+        u0, v0, u1, v1, u2, v2 = at(0), at(1), at(2), at(3), at(4), at(5)
+        s = at(6)
+        e0 = ((u2 - u1) * (py - v1) - (v2 - v1) * (px - u1)) * s
+        e1 = ((u0 - u2) * (py - v2) - (v0 - v2) * (px - u2)) * s
+        e2 = ((u1 - u0) * (py - v0) - (v1 - v0) * (px - u0)) * s
+        qi = at(8) * px + at(9) * py + at(10)
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s != 0)
+        upd = inside & (qi > zq)
+        inv_q = 1.0 / jnp.where(jnp.abs(qi) < 1e-12, 1e-12, qi)
+        rr = (at(11) * px + at(12) * py + at(13)) * inv_q
+        gg = (at(14) * px + at(15) * py + at(16)) * inv_q
+        bb = (at(17) * px + at(18) * py + at(19)) * inv_q
+        return (
+            jnp.where(upd, qi, zq),
+            jnp.where(upd, inv_q, dep),
+            jnp.where(upd, rr, r),
+            jnp.where(upd, gg, g),
+            jnp.where(upd, bb, b),
+        )
+
+    zq, dep, r, g, b = jax.lax.fori_loop(0, cnt, body, (neg, zero, zero, zero, zero))
+    p = sub * lanes
+    out_ref[0, 0, :] = dep.reshape(p)
+    out_ref[0, 1, :] = r.reshape(p)
+    out_ref[0, 2, :] = g.reshape(p)
+    out_ref[0, 3, :] = b.reshape(p)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
+def pallas_visibility_shade(
+    records: jax.Array,   # (W, K, 32) per-tile face records
+    counts: jax.Array,    # (W,) int32
+    tile_xy: jax.Array,   # (W, 2) int32 pixel origin (x0, y0)
+    tile_h: int,
+    tile_w: int,
+    interpret: bool = False,
+):
+    """Returns (depth (W, P), rgb (W, P, 3))."""
+    w_items, k_cap, _ = records.shape
+    p = tile_h * tile_w
+    assert p % 128 == 0, "tile pixel count must be lane aligned"
+    sub = p // 128
+
+    # Per-grid-step SMEM bookkeeping scales with the grid size; keep each
+    # pallas_call's grid at <= 512 tiles and chunk the work-item dimension.
+    w_chunk = 512
+    outs = []
+    for start in range(0, w_items, w_chunk):
+        end = min(start + w_chunk, w_items)
+        n = end - start
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, k_cap, REC_WIDTH),
+                    lambda w, c, t: (w, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, 4, p), lambda w, c, t: (w, 0, 0)),
+        )
+        outs.append(
+            pl.pallas_call(
+                functools.partial(
+                    _tile_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, lanes=128
+                ),
+                out_shape=jax.ShapeDtypeStruct((n, 4, p), jnp.float32),
+                grid_spec=grid_spec,
+                interpret=interpret,
+            )(counts[start:end], tile_xy[start:end], records[start:end])
+        )
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    depth = out[:, 0, :]
+    rgb = jnp.moveaxis(out[:, 1:4, :], 1, 2)  # (W, P, 3)
+    return depth, rgb

@@ -62,6 +62,10 @@ class RasterConfig:
     # pixels) temporaries; the face-chunk width shrinks automatically for
     # large batch x active_tiles products.
     vis_mem_budget: int = 2 << 30
+    # Use the Pallas per-tile kernel (render/pallas_raster.py) for the
+    # visibility + shading loop: per-tile face-count loop bounds instead of
+    # the lockstep max-count while_loop.  Requires tile_h*tile_w % 128 == 0.
+    use_pallas: bool = False
 
     @property
     def tiles_y(self) -> int:
@@ -326,13 +330,33 @@ def rasterize(
         dtype, (cfg.tile_h, cfg.tile_w), 1
     ).reshape(1, p)
 
-    best_f, _ = _visibility_pass(
-        fu_flat, fv_flat, fq_flat, tf_global, cnt_top.reshape(b * a), py, px, cfg
-    )  # (B*A, P)
-
-    # Shade in the compacted tile domain (B*A*P pixels, not B*H*W).
     planes_flat = _face_planes(fu_flat, fv_flat, fq_flat, fcol_flat)
-    rgb_t, depth_t = _shade_tiles(best_f, planes_flat, px, py)
+    if cfg.use_pallas:
+        from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
+
+        face_records = build_face_records(fu_flat, fv_flat, planes_flat, valid.reshape(b * nf))
+        tf_clamped = jnp.maximum(tf_global, 0)
+        tile_records = face_records[tf_clamped]  # (W, K, 32)
+        live = (tf_global >= 0).astype(face_records.dtype)
+        tile_records = tile_records * live[..., None]
+        tile_xy = jnp.stack(
+            [
+                (tile_ids % cfg.tiles_x).reshape(b * a) * cfg.tile_w,
+                (tile_ids // cfg.tiles_x).reshape(b * a) * cfg.tile_h,
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+        depth_t, rgb_t = pallas_visibility_shade(
+            tile_records, cnt_top.reshape(b * a).astype(jnp.int32), tile_xy,
+            cfg.tile_h, cfg.tile_w,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        best_f, _ = _visibility_pass(
+            fu_flat, fv_flat, fq_flat, tf_global, cnt_top.reshape(b * a), py, px, cfg
+        )  # (B*A, P)
+        # Shade in the compacted tile domain (B*A*P pixels, not B*H*W).
+        rgb_t, depth_t = _shade_tiles(best_f, planes_flat, px, py)
 
     # Scatter finished tiles back into the full (B, T, P) grid, then untile.
     scatter_rows = (batch_off * t + tile_ids).reshape(b * a)
