@@ -8,6 +8,7 @@ from deepim_tpu.engine.losses import (  # noqa: F401
 from deepim_tpu.engine.lr_schedule import lr_steps_from_config, warmup_multifactor_schedule  # noqa: F401
 from deepim_tpu.engine.refine import (  # noqa: F401
     EngineConfig,
+    LightParams,
     MeshBuffers,
     Observation,
     refine,

@@ -97,13 +97,25 @@ class MeshBuffers(NamedTuple):
     colors: jax.Array     # (B, V, 3)
     faces: jax.Array      # (B, F, 3)
     face_valid: jax.Array  # (B, F)
+    normals: jax.Array | None = None  # (B, V, 3), for the lit (ModelNet) path
 
     @staticmethod
     def gather(bank_arrays: tuple, class_index: jax.Array) -> "MeshBuffers":
-        verts, cols, faces, valid = bank_arrays
+        verts, cols, faces, valid = bank_arrays[:4]
+        normals = bank_arrays[4][class_index] if len(bank_arrays) > 4 else None
         return MeshBuffers(
-            verts[class_index], cols[class_index], faces[class_index], valid[class_index]
+            verts[class_index], cols[class_index], faces[class_index],
+            valid[class_index], normals,
         )
+
+
+class LightParams(NamedTuple):
+    """Per-sample point-light parameters for the unseen-object render path
+    (render_py_light_modelnet_multi.py:131 render() arguments)."""
+
+    position: jax.Array          # (B, 3) camera frame
+    intensity: jax.Array         # (B, 3)
+    brightness_ratio: jax.Array  # (B,) or scalar
 
 
 class Observation(NamedTuple):
@@ -114,14 +126,29 @@ class Observation(NamedTuple):
     mask_gt_observed: jax.Array | None  # (B, 1, H, W); None at test time
     depth_observed: jax.Array | None   # (B, 1, H, W) or None
     k: jax.Array                       # (3, 3)
+    light: "LightParams | None" = None  # unseen-object (ModelNet) rendering
 
 
-def render_at_pose(meshes: MeshBuffers, pose: jax.Array, k: jax.Array, ecfg: EngineConfig):
+def render_at_pose(
+    meshes: MeshBuffers, pose: jax.Array, k: jax.Array, ecfg: EngineConfig,
+    light: "LightParams | None" = None,
+):
     """Render the batch at `pose` -> (image (B,3,H,W) RGB [0,255],
     depth (B,1,H,W), mask (B,1,H,W)).  Gradients are stopped: rendering is a
-    label/input generator, as in the reference (SURVEY.md §7.4)."""
+    label/input generator, as in the reference (SURVEY.md §7.4).
+
+    With `light` (and mesh normals), vertex colors are lit with the
+    reference's point-light model first (render/lighting.py)."""
+    colors = meshes.colors
+    if light is not None and meshes.normals is not None:
+        from deepim_tpu.render.lighting import lit_vertex_colors
+
+        colors = lit_vertex_colors(
+            meshes.vertices, meshes.normals, colors, pose,
+            light.position, light.intensity, light.brightness_ratio,
+        )
     rgb, depth = rasterize(
-        meshes.vertices, meshes.colors, meshes.faces, meshes.face_valid, pose, k, ecfg.raster
+        meshes.vertices, colors, meshes.faces, meshes.face_valid, pose, k, ecfg.raster
     )
     rgb = jax.lax.stop_gradient(jnp.transpose(rgb, (0, 3, 1, 2)))
     depth = jax.lax.stop_gradient(depth[:, None])
@@ -146,7 +173,9 @@ def refine_step(
     t_means = jnp.asarray(ecfg.trans_means, jnp.float32)
     t_stds = jnp.asarray(ecfg.trans_stds, jnp.float32)
 
-    image_rendered, depth_rendered, mask_rendered = render_at_pose(meshes, pose, k, ecfg)
+    image_rendered, depth_rendered, mask_rendered = render_at_pose(
+        meshes, pose, k, ecfg, obs.light
+    )
 
     if ecfg.update_mask == "box_rendered":
         mask_obs = box_fill(mask_rendered)

@@ -28,6 +28,14 @@ class Mesh:
     vertices: np.ndarray  # (V, 3) float32, model frame (meters)
     faces: np.ndarray     # (F, 3) int32
     colors: np.ndarray    # (V, 3) float32 in [0, 255] (RGB)
+    normals: np.ndarray | None = None  # (V, 3) float32, lazy
+
+    def vertex_normals(self) -> np.ndarray:
+        if self.normals is None:
+            from deepim_tpu.render.lighting import compute_vertex_normals
+
+            self.normals = compute_vertex_normals(self.vertices, self.faces)
+        return self.normals
 
     @property
     def num_vertices(self) -> int:
@@ -174,6 +182,15 @@ class MeshBank:
     face_valid: np.ndarray  # (C, Fmax) bool
     num_vertices: np.ndarray  # (C,) int32
     num_faces: np.ndarray     # (C,) int32
+    normals: np.ndarray | None = None  # (C, Vmax, 3), for the lit render path
+
+    def with_normals(self, meshes: list[Mesh]) -> "MeshBank":
+        c, vmax, _ = self.vertices.shape
+        normals = np.zeros((c, vmax, 3), np.float32)
+        for i, m in enumerate(meshes):
+            normals[i, : m.num_vertices] = m.vertex_normals()
+        self.normals = normals
+        return self
 
     @staticmethod
     def from_meshes(meshes: list[Mesh], pad_multiple: int = 256) -> "MeshBank":

@@ -70,7 +70,7 @@ def main():
                 "BATCH_PAIRS": 16, "end_epoch": args.epochs,
                 "warmup": True, "warmup_lr": 1e-5, "warmup_step": 50,
                 "lr": 1e-4, "lr_step": f"{args.epochs * 3 // 4}",
-                "momentum": 0.975,
+                "momentum": 0.975, "grad_clip": 1.0,
                 "INIT_MASK": "box_gt", "UPDATE_MASK": "box_gt", "MASK_DILATE": True,
                 "model_prefix": "synth",
             },
