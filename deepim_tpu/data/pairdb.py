@@ -99,10 +99,13 @@ class PairDB:
         raise KeyError(class_name)
 
     def points(self, cls_name: str) -> np.ndarray:
-        """models/<class>/points.xyz (LM6D_REFINE.py:101-110)."""
+        """models/<class>/points.xyz (LM6D_REFINE.py:101-110); native parser
+        when native/libdeepim_meshio.so is built."""
         if cls_name not in self._points:
+            from deepim_tpu.utils.native import load_points_xyz
+
             path = os.path.join(self.devkit_path, "models", cls_name, "points.xyz")
-            self._points[cls_name] = np.loadtxt(path).astype(np.float32)
+            self._points[cls_name] = load_points_xyz(path)
         return self._points[cls_name]
 
     def diameter(self, cls_name: str) -> float:

@@ -62,6 +62,13 @@ def parse_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray
     fan-triangulated.  Equivalent coverage to glumpy's data.objload for the
     LINEMOD 'textured.obj' assets.
     """
+    from deepim_tpu.utils.native import parse_obj_native
+
+    native = parse_obj_native(path)
+    if native is not None:
+        v, vt, fv, fvt, vc = native
+        return v, vt, fv, np.maximum(fvt, 0), vc
+
     verts: list[list[float]] = []
     vcols: list[list[float]] = []
     texs: list[list[float]] = []
