@@ -158,6 +158,97 @@ def load_textured_mesh(model_dir: str, obj_name: str = "textured.obj", tex_name:
     return Mesh(vertices=v, faces=fv, colors=colors)
 
 
+def load_ply(path: str, scale: float = 1.0) -> Mesh:
+    """PLY mesh loader (ascii / binary_little_endian) covering the BOP model
+    format: vertex x,y,z [+ normals] [+ red,green,blue], triangular faces
+    (lib/utils/inout.py:196-394, pysixd load_ply equivalent).
+
+    `scale` converts units (BOP models are millimeters; pass 0.001 for
+    meters, cf. toolkit/LM6d_devkit model rescaling)."""
+    import struct
+
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"ply", "not a PLY file"
+        fmt = None
+        elems: list[tuple[str, int, list[tuple[str, str]]]] = []
+        cur_props: list[tuple[str, str]] = []
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element"):
+                _, name, count = line.split()
+                cur_props = []
+                elems.append((name, int(count), cur_props))
+            elif line.startswith("property"):
+                parts = line.split()
+                if parts[1] == "list":
+                    cur_props.append((parts[-1], f"list:{parts[2]}:{parts[3]}"))
+                else:
+                    cur_props.append((parts[-1], parts[1]))
+            elif line.startswith("end_header"):
+                break
+
+        type_map = {
+            "float": ("f", 4), "float32": ("f", 4), "double": ("d", 8),
+            "float64": ("d", 8), "int": ("i", 4), "int32": ("i", 4),
+            "uint": ("I", 4), "uint32": ("I", 4), "short": ("h", 2),
+            "ushort": ("H", 2), "uchar": ("B", 1), "uint8": ("B", 1),
+            "char": ("b", 1), "int8": ("b", 1),
+        }
+        verts, cols, norms, faces = [], [], [], []
+        for name, count, props in elems:
+            for _ in range(count):
+                if fmt == "ascii":
+                    vals = f.readline().split()
+                    record: dict[str, float] = {}
+                    vi = 0
+                    for pname, ptype in props:
+                        if ptype.startswith("list"):
+                            n = int(vals[vi]); vi += 1
+                            record[pname] = [float(v) for v in vals[vi : vi + n]]
+                            vi += n
+                        else:
+                            record[pname] = float(vals[vi]); vi += 1
+                else:
+                    record = {}
+                    for pname, ptype in props:
+                        if ptype.startswith("list"):
+                            _, cnt_t, val_t = ptype.split(":")
+                            cf, cs = type_map[cnt_t]
+                            n = struct.unpack("<" + cf, f.read(cs))[0]
+                            vf, vs = type_map[val_t]
+                            record[pname] = list(struct.unpack(f"<{n}{vf}", f.read(vs * n)))
+                        else:
+                            vf, vs = type_map[ptype]
+                            record[pname] = struct.unpack("<" + vf, f.read(vs))[0]
+                if name == "vertex":
+                    verts.append([record["x"], record["y"], record["z"]])
+                    if "red" in record:
+                        cols.append([record["red"], record["green"], record["blue"]])
+                    if "nx" in record:
+                        norms.append([record["nx"], record["ny"], record["nz"]])
+                elif name == "face":
+                    idx = record.get("vertex_indices", record.get("vertex_index"))
+                    idx = [int(i) for i in idx]
+                    for i in range(1, len(idx) - 1):
+                        faces.append([idx[0], idx[i], idx[i + 1]])
+
+    v = np.asarray(verts, np.float32) * scale
+    colors = (
+        np.asarray(cols, np.float32)
+        if len(cols) == len(verts)
+        else np.full((len(verts), 3), 128.0, np.float32)
+    )
+    normals = np.asarray(norms, np.float32) if len(norms) == len(verts) else None
+    return Mesh(
+        vertices=v,
+        faces=np.asarray(faces, np.int32),
+        colors=colors,
+        normals=normals,
+    )
+
+
 def write_obj(path: str, mesh: Mesh) -> None:
     """Write a vertex-colored OBJ ('v x y z r g b', colors in [0, 1])."""
     with open(path, "w") as f:

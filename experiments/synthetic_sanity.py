@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--n-val", type=int, default=32)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--overfit", action="store_true",
+        help="evaluate on the training pairs (capacity check: refinement "
+        "must become near-perfect on seen data)",
+    )
     args = ap.parse_args()
 
     from deepim_tpu.config import Config, update_config_dict
@@ -51,7 +56,8 @@ def main():
             "output_path": os.path.join(devkit, "output"),
             "dataset": {
                 "dataset": "LM6D_REFINE", "dataset_path": devkit, "root_path": devkit,
-                "image_set": "train_", "test_image_set": "val_",
+                "image_set": "train_",
+                "test_image_set": "train_" if args.overfit else "val_",
                 "model_dir": os.path.join(devkit, "models"),
                 "class_name": ["cube", "sphere"],
                 "INTRINSIC_MATRIX": k.flatten().tolist(),
