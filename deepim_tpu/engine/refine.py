@@ -127,6 +127,7 @@ class Observation(NamedTuple):
     depth_observed: jax.Array | None   # (B, 1, H, W) or None
     k: jax.Array                       # (3, 3)
     light: "LightParams | None" = None  # unseen-object (ModelNet) rendering
+    class_index: jax.Array | None = None  # (B,) for REGRESSOR_NUM>1 heads
 
 
 def render_at_pose(
@@ -218,7 +219,10 @@ def refine_step(
         jnp.transpose(z_img_rend, (0, 2, 3, 1)),
         **kwargs,
     )
-    out = model.apply(params, x)
+    if getattr(model, "num_regressors", 1) > 1:
+        out = model.apply(params, x, obs.class_index)
+    else:
+        out = model.apply(params, x)
 
     trans = zoom_trans(out["trans"], zf.as_array(), True, False)  # un-zoom (B, 3)
     pose_new = RT_transform(pose, out["rot"], trans, t_means, t_stds, ecfg.rot_coord)

@@ -39,6 +39,143 @@ def is_sentinel_pose(pose: np.ndarray) -> np.ndarray:
     return np.abs(pose.reshape(pose.shape[0], -1).sum(axis=1) + 12.0) < 1e-6
 
 
+def _make_evaluator(cfg: Config, class_dbs: list, num_iters: int) -> "PoseEvaluator":
+    all_classes = list(class_dbs[0][0].classes)
+    points = {c: db.points(c) for db, _ in class_dbs for c in [db.cur_class]}
+    diameters = {c: db.diameter(c) for db, _ in class_dbs for c in [db.cur_class]}
+    return PoseEvaluator(
+        all_classes, points, diameters, cfg.dataset.intrinsic_matrix(), num_iters
+    )
+
+
+def eval_precomputed_poses(cfg: Config, class_dbs: list, icp: bool = True) -> dict:
+    """TEST.PRECOMPUTED_ICP / TEST.BEFORE_ICP evaluation paths
+    (deepim/core/tester.py:193-279): instead of running the network, read a
+    precomputed refined pose from the file next to each rendered depth
+    (`-pose_icp.txt` after ICP, `-pose.txt` before) and run the standard
+    evaluators at a single iteration."""
+    from deepim_tpu.eval.evaluator import _rot_trans_errors
+
+    suffix = "-pose_icp.txt" if icp else "-pose.txt"
+    all_classes = list(class_dbs[0][0].classes)
+    poses_est = [[[]] for _ in all_classes]
+    poses_gt = [[[]] for _ in all_classes]
+    for db, pairdb in class_dbs:
+        cls_idx = all_classes.index(db.cur_class)
+        for rec in pairdb:
+            pose_path = rec["depth_rendered"][: -len("-depth.png")] + suffix
+            pose = np.loadtxt(pose_path, skiprows=1).astype(np.float32).reshape(3, 4)
+            poses_est[cls_idx][0].append(pose)
+            poses_gt[cls_idx][0].append(rec["pose_observed"])
+        rot_err, trans_err = _rot_trans_errors(
+            np.stack(poses_est[cls_idx][0]), np.stack(poses_gt[cls_idx][0])
+        )
+        logger.info(
+            "precomputed %s %s: rot %.2f +/- %.2f deg, trans %.2f +/- %.2f cm",
+            "ICP" if icp else "init", db.cur_class,
+            np.mean(rot_err), np.std(rot_err),
+            np.mean(trans_err) * 100, np.std(trans_err) * 100,
+        )
+    evaluator = _make_evaluator(cfg, class_dbs, 1)
+    return {
+        "pose": evaluator.evaluate_pose(poses_est, poses_gt),
+        "add": evaluator.evaluate_pose_add(poses_est, poses_gt),
+        "arp_2d": evaluator.evaluate_pose_arp_2d(poses_est, poses_gt),
+    }
+
+
+def eval_flow_epe(
+    cfg: Config,
+    params: Any,
+    model: Any,
+    class_dbs: list,
+    bank_arrays: tuple,
+    batch_size: int = 8,
+) -> dict:
+    """Flow end-point-error evaluation (tester.py:340-377, :513-515;
+    GT per par_generate_gt :530-569; accumulation per calc_EPE_one_pair
+    :572-589).  Runs one refinement step at the initial pose, un-zooms the
+    predicted flow to the full frame, and compares against the
+    depth-reprojection GT flow.  Reports mean EPE over all pixels, visible
+    pixels, and visible+background pixels."""
+    from deepim_tpu.data.preprocess import load_depth, load_label_mask
+    from deepim_tpu.engine.refine import refine_step
+    from deepim_tpu.ops.flow import flow_from_depth
+    from deepim_tpu.ops.zoom import zoom_flow
+
+    ecfg = EngineConfig.from_config(cfg, train=False)
+    nf = float(cfg.dataset.NORMALIZE_FLOW)
+
+    @jax.jit
+    def flow_step(params, obs, meshes, pose0):
+        _, aux = refine_step(params, model, obs, meshes, pose0, ecfg)
+        flow_zoom = jnp.transpose(aux["net"]["flow"], (0, 3, 1, 2)) * nf
+        flow_full = zoom_flow(flow_zoom, aux["zoom_factor"], inverse=True)
+        return flow_full, aux["depth_rendered"][:, 0]
+
+    sums = {"epe_all": 0.0, "num_all": 0.0, "epe_viz": 0.0, "num_viz": 0.0,
+            "epe_vizbg": 0.0, "num_vizbg": 0.0}
+    for db, pairdb in class_dbs:
+        loader = TestLoader(pairdb, cfg, batch_size)
+        recs_iter = iter(pairdb)
+        for batch, valid in loader.batches():
+            pose0 = batch["pose_rendered"]
+            sentinel = is_sentinel_pose(pose0)
+            meshes = MeshBuffers.gather(bank_arrays, jnp.asarray(batch["class_index"]))
+            obs = Observation(
+                image_observed=jnp.asarray(batch["image_observed"]),
+                mask_observed=jnp.asarray(batch["mask_observed"]),
+                mask_gt_observed=None,
+                depth_observed=(
+                    jnp.asarray(batch["depth_observed"]) if "depth_observed" in batch else None
+                ),
+                k=jnp.asarray(batch["k"]),
+                class_index=jnp.asarray(batch["class_index"]),
+            )
+            safe_pose0 = pose0.copy()
+            safe_pose0[sentinel] = np.eye(3, 4, dtype=np.float32)
+            safe_pose0[sentinel, 2, 3] = 1.0
+            flow_pred, depth_rend = flow_step(params, obs, meshes, jnp.asarray(safe_pose0))
+            flow_pred = np.asarray(flow_pred)
+            depth_rend = np.asarray(depth_rend)
+            for j in range(valid):
+                rec = next(recs_iter)
+                if sentinel[j]:
+                    continue
+                # GT flow from the rendered depth and the (masked) gt-observed
+                # depth (par_generate_gt, tester.py:530-569).
+                d_obs = load_depth(rec["depth_gt_observed"], cfg.dataset.DEPTH_FACTOR)
+                label = load_label_mask(rec["mask_gt_observed"], rec["mask_idx"])
+                d_obs = d_obs * (label > 0)
+                gt_flow, gt_valid = flow_from_depth(
+                    jnp.asarray(depth_rend[j : j + 1]),
+                    jnp.asarray(d_obs[None]),
+                    jnp.asarray(rec["pose_rendered"][None]),
+                    jnp.asarray(rec["pose_observed"][None]),
+                    jnp.asarray(batch["k"]),
+                )
+                gt_flow = np.asarray(gt_flow)[0]
+                visible = np.asarray(gt_valid)[0] > 0
+                bg = np.logical_and(~visible, depth_rend[j] == 0)
+                diff = np.sqrt(np.sum(np.square(gt_flow - flow_pred[j]), axis=0))
+                sums["epe_all"] += diff.sum()
+                sums["num_all"] += diff.size
+                sums["epe_viz"] += diff[visible].sum()
+                sums["num_viz"] += visible.sum()
+                vizbg = np.logical_or(visible, bg)
+                sums["epe_vizbg"] += diff[vizbg].sum()
+                sums["num_vizbg"] += vizbg.sum()
+    out = {
+        "epe_all": sums["epe_all"] / max(sums["num_all"], 1.0),
+        "epe_viz": sums["epe_viz"] / max(sums["num_viz"], 1.0),
+        "epe_vizbg": sums["epe_vizbg"] / max(sums["num_vizbg"], 1.0),
+    }
+    logger.info("EPE all: %.4f", out["epe_all"])
+    logger.info("EPE ignore unvisible: %.4f", out["epe_vizbg"])
+    logger.info("EPE visible: %.4f", out["epe_viz"])
+    return out
+
+
 def pred_eval(
     cfg: Config,
     params: Any,
@@ -87,6 +224,7 @@ def pred_eval(
                         jnp.asarray(batch["depth_observed"]) if "depth_observed" in batch else None
                     ),
                     k=jnp.asarray(batch["k"]),
+                    class_index=jnp.asarray(batch["class_index"]),
                 )
                 # Sentinel poses get a safe placeholder for the device pass.
                 safe_pose0 = pose0.copy()
@@ -109,11 +247,7 @@ def pred_eval(
             pickle.dump([all_poses_est, all_poses_gt], f, protocol=4)
 
     # Evaluation (LM6D_REFINE.py evaluators).
-    points = {c: db.points(c) for db, _ in class_dbs for c in [db.cur_class]}
-    diameters = {c: db.diameter(c) for db, _ in class_dbs for c in [db.cur_class]}
-    evaluator = PoseEvaluator(
-        all_classes, points, diameters, cfg.dataset.intrinsic_matrix(), num_iters
-    )
+    evaluator = _make_evaluator(cfg, class_dbs, num_iters)
     results = {
         "pose": evaluator.evaluate_pose(all_poses_est, all_poses_gt),
         "add": evaluator.evaluate_pose_add(all_poses_est, all_poses_gt),

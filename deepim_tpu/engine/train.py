@@ -103,6 +103,7 @@ def compute_losses(
         mask_gt_observed=batch.mask_gt_observed,
         depth_observed=batch.depth_observed,
         k=batch.k,
+        class_index=batch.class_index,
     )
     pose_new, aux = refine_step(params, model, obs, meshes, pose_src, ecfg)
     zf = aux["zoom_factor"]

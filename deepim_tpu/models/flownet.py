@@ -41,11 +41,12 @@ def leaky(x):
 def _rot_kernel_init(key, shape, dtype=jnp.float32):
     """Quaternion head init (deepIM_flownet.py:793-800): all entries
     U(0, 0.01), except the w-output column U(0.01, 1.01), biasing the initial
-    prediction toward the identity rotation.  flax kernels are (in, out)."""
+    prediction toward the identity rotation.  flax kernels are (in, out);
+    with grouped heads (REGRESSOR_NUM > 1) every 4th column is a w column."""
     k1, k2 = jax.random.split(key)
     w = jax.random.uniform(k1, shape, dtype) * 0.01
-    w_col = jax.random.uniform(k2, (shape[0],), dtype) + 0.01
-    return w.at[:, 0].set(w_col)
+    w_cols = jax.random.uniform(k2, (shape[0], (shape[1] + 3) // 4), dtype) + 0.01
+    return w.at[:, 0::4].set(w_cols)
 
 
 @lru_cache(maxsize=None)
@@ -127,10 +128,14 @@ class FlowNetDeepIM(nn.Module):
 
     pred_flow: bool = True
     pred_mask: bool = True
+    # REGRESSOR_NUM (config.py:40): >1 = one SE(3) head group per class,
+    # selected per sample by class_index (the GroupPicker path,
+    # deepim/operator_py/group_picker.py:16-86).
+    num_regressors: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+    def __call__(self, x: jax.Array, class_index: jax.Array | None = None) -> dict[str, jax.Array]:
         h_in, w_in = x.shape[1], x.shape[2]
         dt = self.dtype
         x = x.astype(dt)
@@ -150,10 +155,18 @@ class FlowNetDeepIM(nn.Module):
         flat = c6_1.reshape(c6_1.shape[0], -1)
         fc6 = leaky(nn.Dense(256, dtype=dt, name="fc6", kernel_init=nn.initializers.xavier_uniform())(flat))
         fc7 = leaky(nn.Dense(256, dtype=dt, name="fc7", kernel_init=nn.initializers.xavier_uniform())(fc6))
-        rot = nn.Dense(4, dtype=dt, name="rot", kernel_init=_rot_kernel_init)(fc7)
+        g = self.num_regressors
+        rot = nn.Dense(4 * g, dtype=dt, name="rot", kernel_init=_rot_kernel_init)(fc7)
+        trans = nn.Dense(3 * g, dtype=dt, name="trans", kernel_init=nn.initializers.zeros)(fc7)
+        if g > 1:
+            from deepim_tpu.ops.group_picker import group_pick
+
+            if class_index is None:
+                raise ValueError("num_regressors > 1 requires class_index")
+            rot = group_pick(rot, class_index, g)
+            trans = group_pick(trans, class_index, g)
         rot = rot.astype(jnp.float32)
         rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
-        trans = nn.Dense(3, dtype=dt, name="trans", kernel_init=nn.initializers.zeros)(fc7)
         out = {"rot": rot, "trans": trans.astype(jnp.float32)}
 
         if self.pred_flow or self.pred_mask:

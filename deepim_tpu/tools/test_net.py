@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from deepim_tpu.config import Config
 from deepim_tpu.data.pairdb import load_gt_pairdb
 from deepim_tpu.engine.checkpoint import load_checkpoint
-from deepim_tpu.engine.tester import pred_eval
+from deepim_tpu.engine.tester import eval_flow_epe, eval_precomputed_poses, pred_eval
 from deepim_tpu.engine.train import TrainState
 from deepim_tpu.tools.train_net import build_mesh_bank, build_model
 from deepim_tpu.utils.logger import create_logger, logger
@@ -43,4 +43,13 @@ def test_deepim(cfg: Config, output_dir: str | None = None, params=None, batch_s
             cls, cfg.dataset.root_path, cfg.dataset.dataset_path,
         )
         class_dbs.append((db, pairdb))
-    return pred_eval(cfg, params, model, class_dbs, bank_arrays, output_dir, batch_size)
+    # Precomputed-pose evaluation shortcuts (tester.py:193-279): evaluate the
+    # stored ICP-refined (or initial) poses instead of running the network.
+    if cfg.TEST.PRECOMPUTED_ICP:
+        return eval_precomputed_poses(cfg, class_dbs, icp=True)
+    if cfg.TEST.BEFORE_ICP:
+        return eval_precomputed_poses(cfg, class_dbs, icp=False)
+    results = pred_eval(cfg, params, model, class_dbs, bank_arrays, output_dir, batch_size)
+    if cfg.network.PRED_FLOW and not cfg.TEST.FAST_TEST:
+        results["flow_epe"] = eval_flow_epe(cfg, params, model, class_dbs, bank_arrays, batch_size)
+    return results

@@ -59,11 +59,15 @@ def build_mesh_bank(cfg: Config) -> tuple:
 
 def build_model(cfg: Config, dtype=jnp.bfloat16):
     model = FlowNetDeepIM(
-        pred_flow=cfg.network.PRED_FLOW, pred_mask=cfg.network.PRED_MASK, dtype=dtype
+        pred_flow=cfg.network.PRED_FLOW, pred_mask=cfg.network.PRED_MASK,
+        num_regressors=cfg.network.REGRESSOR_NUM, dtype=dtype,
     )
     channels = 6 + (2 if cfg.network.INPUT_DEPTH else 0) + (2 if cfg.network.INPUT_MASK else 0)
     x = jnp.zeros((1, cfg.height, cfg.width, channels))
-    params = model.init(jax.random.PRNGKey(0), x)
+    if cfg.network.REGRESSOR_NUM > 1:
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+    else:
+        params = model.init(jax.random.PRNGKey(0), x)
     return model, params
 
 

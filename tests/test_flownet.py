@@ -86,3 +86,51 @@ def test_spatial_dims_at_reference_resolution():
     params = model.init(jax.random.PRNGKey(0), x)
     fc6_kernel = params["params"]["fc6"]["kernel"]
     assert fc6_kernel.shape == (1024 * 8 * 10, 256)
+
+
+def test_group_picker_forward_and_grad(rng):
+    """group_pick vs numpy gather; gradient is a scatter to the picked group
+    (group_picker.py:43-56 hand-written backward, here via autodiff)."""
+    from deepim_tpu.ops.group_picker import group_pick
+
+    b, g, c = 5, 4, 3
+    x = jnp.asarray(rng.rand(b, g * c).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, g, size=b).astype(np.int32))
+    out = group_pick(x, idx, g)
+    ref = np.stack([np.asarray(x)[i].reshape(g, c)[int(idx[i])] for i in range(b)])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
+
+    # Ids >= num_groups are interpreted 1-based (the pairdb mask_idx
+    # convention): idx+1 < g picks group idx+1; idx+1 == g wraps to idx.
+    out1 = group_pick(x, idx + 1, g)
+    expect = np.stack([
+        np.asarray(x)[i].reshape(g, c)[int(idx[i]) + 1 if int(idx[i]) + 1 < g else int(idx[i])]
+        for i in range(b)
+    ])
+    np.testing.assert_allclose(np.asarray(out1), expect, rtol=1e-6)
+
+    grad = jax.grad(lambda xx: group_pick(xx, idx, g).sum())(x)
+    gref = np.zeros((b, g, c), np.float32)
+    for i in range(b):
+        gref[i, int(idx[i])] = 1.0
+    np.testing.assert_allclose(np.asarray(grad).reshape(b, g, c), gref, rtol=1e-6)
+
+
+def test_multi_regressor_heads(rng):
+    """REGRESSOR_NUM>1: per-class SE(3) head groups selected by class index;
+    different classes give different predictions for the same input."""
+    x = small_inputs(rng, b=2)
+    model = FlowNetDeepIM(pred_flow=False, pred_mask=False, num_regressors=3)
+    ci = jnp.asarray([0, 2], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, ci)
+    out = model.apply(params, x, ci)
+    assert out["rot"].shape == (2, 4)
+    assert out["trans"].shape == (2, 3)
+    # quaternion normalized, w-biased init near identity for every group
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out["rot"]), axis=-1), 1.0, rtol=1e-5)
+    assert np.all(np.asarray(out["rot"])[:, 0] > 0.5)
+
+    x0 = small_inputs(rng, b=1)
+    o_a = model.apply(params, x0, jnp.asarray([0], jnp.int32))
+    o_b = model.apply(params, x0, jnp.asarray([1], jnp.int32))
+    assert not np.allclose(np.asarray(o_a["rot"]), np.asarray(o_b["rot"]))

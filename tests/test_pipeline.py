@@ -149,7 +149,9 @@ def test_full_train_and_eval(devkit):
     assert finite
 
     results = test_deepim(cfg, output_dir=os.path.join(devkit, "run"), params=state.params, batch_size=4)
-    assert set(results.keys()) == {"pose", "add", "arp_2d"}
+    assert set(results.keys()) == {"pose", "add", "arp_2d", "flow_epe"}
+    assert np.isfinite(results["flow_epe"]["epe_all"])
+    assert results["flow_epe"]["epe_viz"] >= 0.0
     for cls in ("cube", "sphere"):
         assert cls in results["add"], results["add"].keys()
         for it in range(cfg.TEST.test_iter):
@@ -164,3 +166,33 @@ def test_full_train_and_eval(devkit):
     np.testing.assert_allclose(
         results2["add"]["cube"][0]["0.10"], results["add"]["cube"][0]["0.10"]
     )
+
+
+def test_precomputed_pose_eval_paths(devkit):
+    """TEST.PRECOMPUTED_ICP / BEFORE_ICP shortcuts (tester.py:193-279):
+    evaluate stored poses without running the network."""
+    import glob
+
+    from deepim_tpu.config import replace
+    from deepim_tpu.data.pairdb import PairDB, save_pose_file
+    from deepim_tpu.tools.test_net import test_deepim
+
+    cfg = make_cfg(devkit)
+
+    # BEFORE_ICP: evaluates the initial (perturbed) rendered poses.
+    cfg_b = replace(cfg, TEST=replace(cfg.TEST, BEFORE_ICP=True))
+    res_b = test_deepim(cfg_b, output_dir=os.path.join(devkit, "run_icp"))
+    assert np.isfinite(res_b["add"]["cube"][0]["errors"]).all()
+
+    # PRECOMPUTED_ICP: write a perfect "-pose_icp.txt" next to every rendered
+    # depth; evaluation must then be exact (100% at every threshold).
+    for cls in ("cube", "sphere"):
+        db = PairDB(name="LM6D_REFINE", devkit_path=devkit, image_set=f"val_{cls}", cur_class=cls)
+        for rec in db.gt_pairdb():
+            icp_path = rec["depth_rendered"][: -len("-depth.png")] + "-pose_icp.txt"
+            save_pose_file(icp_path, rec["pose_observed"])
+    cfg_i = replace(cfg, TEST=replace(cfg.TEST, PRECOMPUTED_ICP=True))
+    res_i = test_deepim(cfg_i, output_dir=os.path.join(devkit, "run_icp"))
+    for cls in ("cube", "sphere"):
+        assert res_i["add"][cls][0]["0.10"] == 100.0
+        assert res_i["pose"][cls][0]["acc_5cm_5deg"] == 100.0
