@@ -24,3 +24,26 @@ eval       ADD(-S)/reprojection-2D/5cm-5deg evaluation protocol.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (set DEEPIM_TPU_COMPILE_CACHE=0 to
+    disable, or point it at a directory).  Every CLI invocation is a fresh
+    process; without this each one pays the full multi-minute TPU compile of
+    the rasterizer/engine jits."""
+    import os
+
+    val = os.environ.get("DEEPIM_TPU_COMPILE_CACHE", "1")
+    if val == "0":
+        return
+    cache_dir = val if val not in ("", "1") else os.path.expanduser("~/.cache/deepim_tpu/xla")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

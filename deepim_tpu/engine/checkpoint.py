@@ -39,12 +39,17 @@ def load_checkpoint(prefix: str, epoch: int, state_like: TrainState, rename_map:
     checkpoint migration, module.py:150-158)."""
     path = os.path.join(checkpoint_dir(prefix), str(epoch))
     ckptr = ocp.PyTreeCheckpointer()
-    target = {
-        "params": state_like.params,
-        "opt_state": state_like.opt_state,
-        "step": np.asarray(state_like.step),
-    }
-    restored = ckptr.restore(path, item=target)
+    if state_like.opt_state is None:
+        # Inference-only restore (Predictor path, tester/gen_video): no
+        # optimizer-state template — take the checkpoint's own structure.
+        restored = ckptr.restore(path)
+    else:
+        target = {
+            "params": state_like.params,
+            "opt_state": state_like.opt_state,
+            "step": np.asarray(state_like.step),
+        }
+        restored = ckptr.restore(path, item=target)
     params = restored["params"]
     if rename_map:
         flat = jax.tree_util.tree_flatten_with_path(params)

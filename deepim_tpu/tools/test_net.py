@@ -29,9 +29,12 @@ def test_deepim(cfg: Config, output_dir: str | None = None, params=None, batch_s
             state = load_checkpoint(prefix, cfg.TEST.test_epoch, state)
             params = state.params
             logger.info("loaded params for test epoch %d", cfg.TEST.test_epoch)
-        except Exception:
+        except Exception as e:
             params = init_params
-            logger.warning("no checkpoint found at %s epoch %d; using init params", prefix, cfg.TEST.test_epoch)
+            logger.warning(
+                "no checkpoint restored from %s epoch %d (%s); using init params",
+                prefix, cfg.TEST.test_epoch, e,
+            )
 
     bank_arrays = build_mesh_bank(cfg)
     dataset_name = cfg.dataset.dataset.split("+")[0]

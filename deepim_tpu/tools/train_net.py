@@ -26,6 +26,7 @@ from deepim_tpu.parallel import jit_train_step_dp, make_mesh, replicate_pytree, 
 from deepim_tpu.render.mesh import MeshBank, load_textured_mesh
 from deepim_tpu.utils.logger import create_logger, logger
 from deepim_tpu.utils.speedometer import Speedometer
+from deepim_tpu.utils.tb import TBLogger
 
 
 def load_pairdbs(cfg: Config):
@@ -108,6 +109,8 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
     bank_d = replicate_pytree(bank_arrays, mesh)
     pstep = None
     speedo = Speedometer(batch_size, frequent=20)
+    # TensorBoard scalars (module.py:1096-1158 when TENSORBOARD_LOG).
+    tb = TBLogger(os.path.join(output_dir, "tb"), enabled=cfg.TRAIN.TENSORBOARD_LOG)
 
     for epoch in range(begin_epoch, cfg.TRAIN.end_epoch):
         for nbatch, batch in enumerate(loader.epoch()):
@@ -115,7 +118,33 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
             if pstep is None:
                 pstep = jit_train_step_dp(step_fn, mesh, state_d, batch_d, bank_d)
             state_d, metrics, _ = pstep(state_d, batch_d, bank_d)
-            speedo(epoch, nbatch, {k: float(np.asarray(v)[-1]) for k, v in metrics.items()})
+            host_metrics = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+            speedo(epoch, nbatch, host_metrics)
+            if tb.enabled:
+                step = int(np.asarray(state_d.step))
+                host_metrics["lr"] = float(schedule(step))
+                tb.scalars(host_metrics, step)
+            if cfg.TRAIN.VISUALIZE and nbatch % 100 == 0:
+                _dump_batch_vis(batch, os.path.join(output_dir, "vis"), f"e{epoch}_b{nbatch}")
+        if tb.enabled:
+            tb.weight_norms(jax.device_get(state_d.params), epoch + 1)
+            tb.flush()
         save_checkpoint(prefix, epoch + 1, jax.device_get(state_d))
         logger.info("saved checkpoint epoch %d", epoch + 1)
+    tb.close()
     return jax.device_get(state_d)
+
+
+def _dump_batch_vis(batch, vis_dir: str, tag: str) -> None:
+    """TRAIN.VISUALIZE: dump the current batch as PNG grids (headless
+    analog of the reference's SimpleVisualize/MaskVisualize metrics,
+    deepim/core/metric.py:140-486)."""
+    from deepim_tpu.utils.visualize import visualize_masks, visualize_pair_grid
+
+    obs = np.asarray(batch.image_observed)
+    visualize_pair_grid(os.path.join(vis_dir, f"{tag}_pairs.png"), obs, obs * 0)
+    visualize_masks(
+        os.path.join(vis_dir, f"{tag}_masks.png"),
+        np.asarray(batch.mask_observed),
+        np.asarray(batch.mask_gt_observed),
+    )

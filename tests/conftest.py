@@ -16,6 +16,10 @@ import jax  # noqa: E402
 # overridden at interpreter start); force the CPU backend after import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the suite is dominated by XLA compile time
+# (every rasterizer/engine jit at a new shape); cache hits make re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -154,3 +154,35 @@ def test_train_step_decreases_loss(rng):
     assert last < first, (first, last)
     for key in ("pm_loss", "flow_loss", "mask_loss"):
         assert key in metrics_history[0]
+
+
+def test_checkpoint_roundtrip_and_inference_restore(tmp_path):
+    """save_checkpoint/load_checkpoint round trip, including the
+    inference-only path with no optimizer-state template (the Predictor /
+    gen_video restore, reference load_model.py:10-67)."""
+    import numpy as np
+    import optax
+
+    from deepim_tpu.engine.checkpoint import latest_epoch, load_checkpoint, save_checkpoint
+    from deepim_tpu.engine.train import TrainState
+
+    params = {"params": {"dense": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}}
+    tx = optax.sgd(1e-3, momentum=0.9)
+    state = TrainState(params, tx.init(params), np.int32(7))
+    prefix = str(tmp_path / "run" / "model")
+    save_checkpoint(prefix, 3, state)
+    assert latest_epoch(prefix) == 3
+
+    # full restore (resume path)
+    zero = TrainState(jax.tree.map(np.zeros_like, params), tx.init(params), np.int32(0))
+    restored = load_checkpoint(prefix, 3, zero)
+    np.testing.assert_array_equal(
+        restored.params["params"]["dense"]["kernel"], params["params"]["dense"]["kernel"]
+    )
+    assert int(restored.step) == 7
+
+    # inference-only restore: no opt_state template
+    inf = load_checkpoint(prefix, 3, TrainState(zero.params, None, 0))
+    np.testing.assert_array_equal(
+        inf.params["params"]["dense"]["kernel"], params["params"]["dense"]["kernel"]
+    )
