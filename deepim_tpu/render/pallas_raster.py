@@ -125,6 +125,13 @@ def pallas_visibility_shade(
 
     # Per-grid-step SMEM bookkeeping scales with the grid size; keep each
     # pallas_call's grid at <= 512 tiles and chunk the work-item dimension.
+    #
+    # The caller sorts work items by binned face count (descending), so all
+    # empty tiles form a contiguous suffix.  Empty steps alias their input
+    # block to block 0 and their output block to a trash row (index n): the
+    # pipeline skips the DMA when consecutive steps map to the same block, so
+    # empty work items cost only grid iteration — the kernel's cost scales
+    # with the number of *covered* tiles, not the static work-list budget.
     w_chunk = 512
     outs = []
     for start in range(0, w_items, w_chunk):
@@ -136,21 +143,23 @@ def pallas_visibility_shade(
             in_specs=[
                 pl.BlockSpec(
                     (1, k_cap, REC_WIDTH),
-                    lambda w, c, t: (w, 0, 0),
+                    lambda w, c, t: (jnp.where(c[w] > 0, w, 0), 0, 0),
                     memory_space=pltpu.SMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec((1, 4, p), lambda w, c, t: (w, 0, 0)),
+            out_specs=pl.BlockSpec(
+                (1, 4, p), lambda w, c, t, n=n: (jnp.where(c[w] > 0, w, n), 0, 0)
+            ),
         )
         outs.append(
             pl.pallas_call(
                 functools.partial(
                     _tile_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, lanes=128
                 ),
-                out_shape=jax.ShapeDtypeStruct((n, 4, p), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((n + 1, 4, p), jnp.float32),
                 grid_spec=grid_spec,
                 interpret=interpret,
-            )(counts[start:end], tile_xy[start:end], records[start:end])
+            )(counts[start:end], tile_xy[start:end], records[start:end])[:n]
         )
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     depth = out[:, 0, :]

@@ -100,6 +100,12 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
 
     fu, fv: (F, 3); valid: (F,).  Returns (tile_faces (T, K) int32 face ids,
     -1 padded; tile_counts (T,)).
+
+    Compaction of each tile's overlap row is done with a per-row sort of
+    `face_id + F * (not overlapping)` keys rather than a scatter — TPU
+    scatters serialize, a bitonic row sort is fully vectorized.  Sorted
+    ascending this puts overlapping face ids first, in face order (the same
+    slot order the draw-call face order gives GL).
     """
     t_y, t_x, k_cap = cfg.tiles_y, cfg.tiles_x, cfg.max_faces_per_tile
     n_tiles = t_y * t_x
@@ -125,19 +131,15 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
         & (ty >= by0[None, :]) & (ty <= by1[None, :])
     )  # (T, F)
 
-    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1)
-    counts = jnp.minimum(rank[:, -1], k_cap)
-    slot = rank - 1
-    in_cap = overlap & (slot < k_cap)
-    tile_row = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, f), 0)
-    flat_idx = jnp.where(in_cap, tile_row * k_cap + slot, n_tiles * k_cap)
+    counts = jnp.minimum(jnp.sum(overlap.astype(jnp.int32), axis=1), k_cap)
     face_ids = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, f), 1)
-    tile_faces = (
-        jnp.full((n_tiles * k_cap,), -1, jnp.int32)
-        .at[flat_idx.reshape(-1)]
-        .set(face_ids.reshape(-1), mode="drop")
-        .reshape(n_tiles, k_cap)
-    )
+    keys = jnp.where(overlap, face_ids, face_ids + f)
+    keys = jnp.sort(keys, axis=1)
+    if f > k_cap:
+        keys = keys[:, :k_cap]
+    else:
+        keys = jnp.pad(keys, ((0, 0), (0, k_cap - f)), constant_values=2 * f)
+    tile_faces = jnp.where(keys < f, keys, -1)
     return tile_faces, counts
 
 
@@ -306,23 +308,24 @@ def rasterize(
     fq_flat = fq.reshape(b * nf, 3)
     fcol_flat = fcol.reshape(b * nf, 3, 3)
 
+    # One globally pooled, count-sorted work list over all (batch, tile)
+    # pairs.  `active_tiles` is a per-sample *average* budget: the batch
+    # shares w_items = B * active_tiles work slots, so a close-up sample can
+    # borrow slots from far-away samples.  Sorted-descending counts put every
+    # empty tile in a contiguous suffix, which the Pallas kernel exploits to
+    # skip their DMAs entirely.
     a = cfg.active_tiles if cfg.active_tiles and cfg.active_tiles < t else t
-    if a < t:
-        cnt_top, tile_ids = jax.lax.top_k(counts, a)  # (B, A)
-    else:
-        tile_ids = jnp.broadcast_to(
-            jax.lax.broadcasted_iota(jnp.int32, (1, t), 1), (b, t)
-        )
-        cnt_top = counts
-
-    batch_off = jax.lax.broadcasted_iota(jnp.int32, (b, a), 0)
-    tf_sel = jnp.take_along_axis(tile_faces, tile_ids[..., None], axis=1)  # (B, A, K)
-    tf_global = jnp.where(tf_sel >= 0, tf_sel + (batch_off * nf)[..., None], -1)
-    tf_global = tf_global.reshape(b * a, cfg.max_faces_per_tile)
+    w_items = min(b * a, b * t)
+    counts_flat = counts.reshape(b * t)
+    cnt_top, flat_ids = jax.lax.top_k(counts_flat, w_items)  # (W,)
+    tf_sel = tile_faces.reshape(b * t, cfg.max_faces_per_tile)[flat_ids]  # (W, K)
+    sample_of = flat_ids // t
+    tile_of = flat_ids % t
+    tf_global = jnp.where(tf_sel >= 0, tf_sel + (sample_of * nf)[:, None], -1)
 
     dtype = fu.dtype
-    ty = (tile_ids // cfg.tiles_x).astype(dtype).reshape(b * a)
-    tx = (tile_ids % cfg.tiles_x).astype(dtype).reshape(b * a)
+    ty = (tile_of // cfg.tiles_x).astype(dtype)
+    tx = (tile_of % cfg.tiles_x).astype(dtype)
     py = ty[:, None] * cfg.tile_h + jax.lax.broadcasted_iota(
         dtype, (cfg.tile_h, cfg.tile_w), 0
     ).reshape(1, p)
@@ -335,35 +338,35 @@ def rasterize(
         from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
 
         face_records = build_face_records(fu_flat, fv_flat, planes_flat, valid.reshape(b * nf))
-        tf_clamped = jnp.maximum(tf_global, 0)
-        tile_records = face_records[tf_clamped]  # (W, K, 32)
-        live = (tf_global >= 0).astype(face_records.dtype)
-        tile_records = tile_records * live[..., None]
+        # Rows at index >= count are -1-padded; the kernel's face loop is
+        # bounded by count so the garbage gathered for them is never read.
+        tile_records = face_records[jnp.maximum(tf_global, 0)]  # (W, K, 32)
         tile_xy = jnp.stack(
             [
-                (tile_ids % cfg.tiles_x).reshape(b * a) * cfg.tile_w,
-                (tile_ids // cfg.tiles_x).reshape(b * a) * cfg.tile_h,
+                (tile_of % cfg.tiles_x) * cfg.tile_w,
+                (tile_of // cfg.tiles_x) * cfg.tile_h,
             ],
             axis=1,
         ).astype(jnp.int32)
         depth_t, rgb_t = pallas_visibility_shade(
-            tile_records, cnt_top.reshape(b * a).astype(jnp.int32), tile_xy,
+            tile_records, cnt_top.astype(jnp.int32), tile_xy,
             cfg.tile_h, cfg.tile_w,
             interpret=jax.default_backend() == "cpu",
         )
     else:
         best_f, _ = _visibility_pass(
-            fu_flat, fv_flat, fq_flat, tf_global, cnt_top.reshape(b * a), py, px, cfg
-        )  # (B*A, P)
-        # Shade in the compacted tile domain (B*A*P pixels, not B*H*W).
+            fu_flat, fv_flat, fq_flat, tf_global, cnt_top, py, px, cfg
+        )  # (W, P)
+        # Shade in the compacted tile domain (W*P pixels, not B*H*W).
         rgb_t, depth_t = _shade_tiles(best_f, planes_flat, px, py)
 
     # Scatter finished tiles back into the full (B, T, P) grid, then untile.
-    scatter_rows = (batch_off * t + tile_ids).reshape(b * a)
+    # Empty work items carry garbage (the kernel skips them); drop them.
+    scatter_rows = jnp.where(cnt_top > 0, flat_ids, b * t)
 
     def untile(x, fill, channels=None):
         shape = (b * t, p) + (() if channels is None else (channels,))
-        full = jnp.full(shape, fill, x.dtype).at[scatter_rows].set(x)
+        full = jnp.full(shape, fill, x.dtype).at[scatter_rows].set(x, mode="drop")
         ch = () if channels is None else (channels,)
         out = (
             full.reshape(b, cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, *ch)
