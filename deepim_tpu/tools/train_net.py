@@ -72,6 +72,47 @@ def build_model(cfg: Config, dtype=jnp.bfloat16):
     return model, params
 
 
+def init_pretrained(cfg: Config, params):
+    """Initialize params from `network.pretrained` (deepim/train.py:165-195:
+    the reference always fine-tunes from a pretrained FlowNet).  Accepts
+    either an imported ``.npz`` tree (tools/convert_mxnet_checkpoint) or a
+    raw MXNet ``.params`` file (imported on the fly); layers absent from the
+    checkpoint — fc/rot/trans/mask heads of a vanilla FlowNet — keep the
+    reference init scheme already applied at model.init
+    (deepIM_flownet.py:753-845)."""
+    path = cfg.network.pretrained
+    if not path.endswith((".npz", ".params")) and cfg.network.pretrained_epoch:
+        # reference prefix convention: <prefix>-%04d.params (load_model.py:10)
+        path = f"{path}-{cfg.network.pretrained_epoch:04d}.params"
+    if path.endswith(".npz"):
+        from deepim_tpu.tools.convert_mxnet_checkpoint import load_npz_params
+
+        loaded = load_npz_params(path)
+        by_key = {
+            jax.tree_util.keystr(p): leaf
+            for p, leaf in jax.tree_util.tree_leaves_with_path(loaded)
+        }
+
+        def pick(p, leaf):
+            key = jax.tree_util.keystr(p)
+            if key not in by_key:
+                raise KeyError(f"pretrained npz {path} is missing {key}")
+            if by_key[key].shape != leaf.shape:
+                raise ValueError(
+                    f"{key}: npz shape {by_key[key].shape} != model {leaf.shape}"
+                )
+            return jnp.asarray(by_key[key])
+
+        return jax.tree_util.tree_map_with_path(pick, params)
+    from deepim_tpu.models.import_mxnet import flax_from_mxnet
+    from deepim_tpu.utils.mxnet_io import load_mxnet_params
+
+    mx_params = load_mxnet_params(path)
+    return flax_from_mxnet(
+        mx_params, params, input_hw=(cfg.height, cfg.width), strict=False
+    )
+
+
 def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None = None) -> TrainState:
     if output_dir is None:
         output_dir = create_logger(cfg.output_path, cfg.TRAIN.model_prefix, cfg.dataset.image_set)
@@ -86,6 +127,9 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
     epoch_size = loader.epoch_size
 
     model, params = build_model(cfg)
+    if cfg.network.pretrained and not cfg.network.skip_initialize:
+        params = init_pretrained(cfg, params)
+        logger.info("initialized from pretrained %s", cfg.network.pretrained)
     schedule = warmup_multifactor_schedule(
         cfg.TRAIN.lr,
         lr_steps_from_config(cfg.TRAIN.lr_step, epoch_size * cfg.network.TRAIN_ITER_SIZE, cfg.TRAIN.begin_epoch),
