@@ -43,11 +43,29 @@ class TrainLoader:
         seed: int = 0,
         num_workers: int = 2,
         prefetch: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.pairdb = pairdb
         self.cfg = cfg
         self.points_by_class = points_by_class
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
+        # Multi-host sharding: every process shuffles with the same seed, so
+        # the global batch order is identical everywhere; each process
+        # assembles only its contiguous slice of each batch (matching the
+        # contiguous device order of the 1-D dp mesh).
+        if process_index is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count or 1
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by {self.process_count} processes"
+            )
+        self.local_batch_size = batch_size // self.process_count
         self.class_name = list(cfg.dataset.class_name)
         self.k = cfg.dataset.intrinsic_matrix()
         self.rng = random.Random(seed)
@@ -95,8 +113,12 @@ class TrainLoader:
         stop = object()
 
         def producer():
+            lo = self.process_index * self.local_batch_size
             for bi in range(n_batches):
-                recs = [self.pairdb[order[bi * self.batch_size + j]] for j in range(self.batch_size)]
+                recs = [
+                    self.pairdb[order[bi * self.batch_size + lo + j]]
+                    for j in range(self.local_batch_size)
+                ]
                 q.put(self._assemble(recs))
             q.put(stop)
 

@@ -25,10 +25,16 @@ def checkpoint_dir(prefix: str) -> str:
 
 
 def save_checkpoint(prefix: str, epoch: int, state: TrainState) -> str:
-    """Write checkpoint for `epoch` under <prefix>_ckpt/<epoch>."""
+    """Write checkpoint for `epoch` under <prefix>_ckpt/<epoch>, replacing
+    any previous checkpoint for the same epoch (the reference's per-epoch
+    module_checkpoint overwrites on re-run, deepim/train.py:242)."""
     path = os.path.join(checkpoint_dir(prefix), str(epoch))
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, {"params": state.params, "opt_state": state.opt_state, "step": np.asarray(state.step)})
+    ckptr.save(
+        path,
+        {"params": state.params, "opt_state": state.opt_state, "step": np.asarray(state.step)},
+        force=True,
+    )
     return path
 
 

@@ -2,6 +2,7 @@ from deepim_tpu.parallel.dp import jit_refine_dp, jit_train_step_dp  # noqa: F40
 from deepim_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     batch_specs_like,
+    initialize_distributed,
     make_mesh,
     replicate_pytree,
     replicated,
