@@ -106,3 +106,46 @@ def test_modelnet_db_and_refinement(tmp_path, rng):
     )(params, obs, mesh_buf, pose0)
     assert pose_final.shape == (4, 3, 4)
     assert np.isfinite(np.asarray(pose_final)).all()
+
+
+def test_modelnet_driver_eval(tmp_path, rng):
+    """test_deepim dispatches ModelNet datasets to the unseen-object
+    evaluator (deepim/train.py:74 / tester.py:114 dataset branch)."""
+    from deepim_tpu.config import Config, update_config_dict
+    from deepim_tpu.tools.test_net import test_deepim
+    from deepim_tpu.tools.train_net import build_model
+
+    mesh_dir = tmp_path / "models"
+    os.makedirs(mesh_dir)
+    paths = []
+    for name, m in {"c": make_test_cube(0.09), "s": make_icosphere(0.055, 1)}.items():
+        p = str(mesh_dir / f"{name}.obj")
+        write_obj(p, m)
+        paths.append(p)
+    nprng = np.random.RandomState(5)
+    poses = []
+    for i in range(5):
+        rot = R.random(random_state=nprng).as_matrix().astype(np.float32)
+        poses.append((i % 2, np.concatenate([rot, np.array([[0.0], [0.0], [0.55]], np.float32)], 1)))
+    model_file, pose_file = write_modelnet_lists(str(tmp_path), paths, poses)
+
+    cfg = update_config_dict(
+        Config(),
+        {
+            "SCALES": [H, W],
+            "output_path": str(tmp_path / "out"),
+            "dataset": {
+                "dataset": "ModelNet_lit", "model_file": model_file, "pose_file": pose_file,
+                "INTRINSIC_MATRIX": K_MAT.flatten().tolist(),
+                "ZNEAR": 0.05, "ZFAR": 10.0,
+            },
+            "network": {"INPUT_MASK": True, "PRED_FLOW": False, "PRED_MASK": False},
+            "TEST": {"test_iter": 2, "UPDATE_MASK": "box_rendered"},
+        },
+    )
+    model, params = build_model(cfg)
+    results = test_deepim(cfg, output_dir=str(tmp_path / "out"), params=params, batch_size=4)
+    assert len(results["iters"]) == 2
+    assert results["init"]["rot_err"].shape == (5,)
+    for it in results["iters"]:
+        assert np.isfinite(it["rot_err"]).all() and np.isfinite(it["trans_err"]).all()
