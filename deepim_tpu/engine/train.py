@@ -59,16 +59,25 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config, schedule) -> optax.GradientTransformation:
-    """SGD + momentum + weight decay (train.py:243-254; MXNet wd is L2 decay
-    folded into the gradient), with optional global-norm clipping for
-    from-scratch training."""
+    """TRAIN.optimizer='sgd': SGD + momentum + weight decay, the reference
+    recipe (train.py:243-254; MXNet wd is L2 decay folded into the
+    gradient).  'adam': Adam + decoupled weight decay — an extension for
+    from-scratch training, where the reference recipe (which always
+    fine-tunes pretrained FlowNet features) learns impractically slowly.
+    Optional global-norm clipping for either."""
     parts = []
     if cfg.TRAIN.grad_clip > 0:
         parts.append(optax.clip_by_global_norm(cfg.TRAIN.grad_clip))
-    parts += [
-        optax.add_decayed_weights(cfg.TRAIN.wd),
-        optax.sgd(learning_rate=schedule, momentum=cfg.TRAIN.momentum),
-    ]
+    name = cfg.TRAIN.optimizer.lower()
+    if name == "sgd":
+        parts += [
+            optax.add_decayed_weights(cfg.TRAIN.wd),
+            optax.sgd(learning_rate=schedule, momentum=cfg.TRAIN.momentum),
+        ]
+    elif name == "adam":
+        parts.append(optax.adamw(learning_rate=schedule, weight_decay=cfg.TRAIN.wd))
+    else:
+        raise ValueError(f"Unknown TRAIN.optimizer {cfg.TRAIN.optimizer!r}")
     return optax.chain(*parts)
 
 

@@ -18,9 +18,9 @@ import numpy as np  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--n-train", type=int, default=256)
-    ap.add_argument("--n-val", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=24)
+    ap.add_argument("--n-train", type=int, default=512)
+    ap.add_argument("--n-val", type=int, default=64)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--out", default=None)
     ap.add_argument(
@@ -68,14 +68,23 @@ def main():
                 "TRAIN_ITER": True, "TRAIN_ITER_SIZE": 2,
                 "PIXEL_MEANS": [123.68, 116.779, 103.939],
             },
+            # From-scratch weighting: the reference's LW_PM=0.1 assumes
+            # pretrained-FlowNet fine-tuning where the (pixel-summed) mask
+            # BCE may dominate; training from random init needs the SE(3)
+            # signal in charge (single-batch overfit converges 50mm -> 2mm
+            # at these scales, diverges at the reference's).
             "train_iter": {
-                "SE3_PM_LOSS": True, "LW_PM": 0.1, "NUM_3D_SAMPLE": 512,
-                "LW_FLOW": 0.25, "LW_MASK": 0.03,
+                "SE3_PM_LOSS": True, "LW_PM": 1.0, "NUM_3D_SAMPLE": 512,
+                "LW_FLOW": 0.25, "LW_MASK": 0.01,
             },
+            # Adam for from-scratch learning (the reference recipe is SGD
+            # fine-tuning of pretrained FlowNet features; random-init SGD at
+            # those scales needs ~100k steps to move the SE(3) heads).
             "TRAIN": {
+                "optimizer": "adam",
                 "BATCH_PAIRS": 16, "end_epoch": args.epochs,
                 "warmup": True, "warmup_lr": 1e-5, "warmup_step": 50,
-                "lr": 1e-4, "lr_step": f"{args.epochs * 3 // 4}",
+                "lr": 3e-4, "lr_step": f"{args.epochs * 3 // 4}",
                 "momentum": 0.975, "grad_clip": 1.0,
                 "INIT_MASK": "box_gt", "UPDATE_MASK": "box_gt", "MASK_DILATE": True,
                 "model_prefix": "synth",
@@ -91,16 +100,30 @@ def main():
         os.remove(cache)
     results = test_deepim(cfg, output_dir=run_dir, params=state.params, batch_size=16)
 
-    # Init-pose error baseline vs refined, using the evaluator's ADD numbers.
-    print("\n==== refinement quality (ADD <0.1d %) ====")
+    # Init-pose (perturbed) error baseline vs refined — the reference's
+    # tables never include iteration 0 (PoseCNN's numbers are external);
+    # here we compute the init ADD directly from the pairdb.
+    from deepim_tpu.data.pairdb import load_gt_pairdb
+    from deepim_tpu.eval.evaluator import _add_errors
+
+    print("\n==== refinement quality (ADD) ====")
     for cls in ("cube", "sphere"):
+        db, pairdb = load_gt_pairdb(
+            cfg, "LM6D_REFINE", cfg.dataset.test_image_set + cls, cls,
+            cfg.dataset.root_path, cfg.dataset.dataset_path,
+        )
+        pts = db.points(cls)
+        pose0 = np.stack([r["pose_rendered"] for r in pairdb])
+        pose_gt = np.stack([r["pose_observed"] for r in pairdb])
+        init_errs = _add_errors(pose0, pose_gt, pts)
+        diameter = db.diameter(cls) if hasattr(db, "diameter") else None
+        init_mean = float(np.mean(init_errs))
         per_iter = [results["add"][cls][it]["0.10"] for it in range(cfg.TEST.test_iter)]
-        init_err = results["add"][cls][0]["errors"]
-        print(f"{cls}: per-iter ADD<0.1d {per_iter}")
-    # Also report mean ADD error trajectory.
-    for cls in ("cube", "sphere"):
         means = [float(np.mean(results["add"][cls][it]["errors"])) for it in range(cfg.TEST.test_iter)]
-        print(f"{cls}: mean ADD error per iter {['%.4f' % m for m in means]}")
+        if diameter is not None:
+            init_acc = float(np.mean(init_errs < 0.10 * diameter) * 100)
+            print(f"{cls}: ADD<0.1d init {init_acc:.1f}% -> per-iter {per_iter}")
+        print(f"{cls}: mean ADD error init {init_mean:.4f} -> per iter {['%.4f' % m for m in means]}")
 
 
 if __name__ == "__main__":

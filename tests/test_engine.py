@@ -186,3 +186,27 @@ def test_checkpoint_roundtrip_and_inference_restore(tmp_path):
     np.testing.assert_array_equal(
         inf.params["params"]["dense"]["kernel"], params["params"]["dense"]["kernel"]
     )
+
+
+def test_make_optimizer_variants():
+    """TRAIN.optimizer selects sgd (reference recipe) or adam (from-scratch
+    extension); unknown names are rejected."""
+    import optax
+    from dataclasses import replace
+    import pytest
+
+    schedule = warmup_multifactor_schedule(1e-4, (10000,))
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.ones((4, 4)) * 0.1, "b": jnp.ones((4,)) * 0.1}
+    for name in ("sgd", "adam"):
+        cfg = Config()
+        cfg = replace(cfg, TRAIN=replace(cfg.TRAIN, optimizer=name))
+        tx = make_optimizer(cfg, schedule)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.sum(jnp.abs(new["w"] - params["w"]))) > 0
+    cfg = Config()
+    cfg = replace(cfg, TRAIN=replace(cfg.TRAIN, optimizer="rmsprop"))
+    with pytest.raises(ValueError):
+        make_optimizer(cfg, schedule)
