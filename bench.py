@@ -47,8 +47,14 @@ def main() -> None:
     ecfg, bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = _build_scene(
         b, h, w, k_mat, num_iters=iters
     )
-    model = FlowNetDeepIM(pred_flow=True, pred_mask=True, dtype=jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 8)))
+    # FAST_TEST protocol: the reference's shipped eval configs run with
+    # TEST.FAST_TEST=True + UPDATE_MASK='box_rendered', which drops the flow
+    # decoder and mask head from the test graph (deepIM_flownet.py:624-676)
+    # — only the encoder + SE(3) head run at eval time.  Params are still
+    # created for the full model (as a trained checkpoint would have).
+    full_model = FlowNetDeepIM(pred_flow=True, pred_mask=True, dtype=jnp.bfloat16)
+    params = full_model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 8)))
+    model = FlowNetDeepIM(pred_flow=False, pred_mask=False, dtype=jnp.bfloat16)
     obs = Observation(
         image_observed=img,
         mask_observed=box_fill(mask),
@@ -81,7 +87,7 @@ def main() -> None:
             {
                 "metric": "refinement_frames_per_s_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (480x640, 4 refine iters, batch %d)" % b,
+                "unit": "frames/s (480x640, 4 refine iters, FAST_TEST, batch %d)" % b,
                 "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 2),
             }
         )

@@ -32,6 +32,7 @@ from deepim_tpu.ops.zoom import (
     zoom_factor_from_images,
     zoom_factor_from_masks,
     zoom_images,
+    zoom_mask,
     zoom_masks,
     zoom_trans,
 )
@@ -163,11 +164,21 @@ def refine_step(
     meshes: MeshBuffers,
     pose: jax.Array,
     ecfg: EngineConfig,
+    mask_observed_state: jax.Array | None = None,
 ):
     """One render->zoom->match->update iteration.
 
+    `mask_observed_state` is the iteration-carried observed mask: under
+    UPDATE_MASK='box_observed' the reference replaces the observed mask with
+    the box of the network's *predicted* full-frame mask from the previous
+    iteration (test symbol emits the inverse-zoomed sigmoid mask,
+    deepIM_flownet.py:350-358; update_data_batch boxes it,
+    data_pair.py:106-123).  None falls back to the loader-provided mask.
+
     Returns (pose_new (B, 3, 4), aux dict with the network outputs, the zoom
-    factor, and the rendered buffers for loss computation / inspection).
+    factor, the rendered buffers for loss computation / inspection, and —
+    when the model has a mask head — 'mask_pred_full', the un-zoomed
+    binarized predicted mask to carry into the next iteration).
     """
     k = obs.k
     pm = jnp.asarray(ecfg.pixel_means, jnp.float32)
@@ -181,7 +192,10 @@ def refine_step(
     if ecfg.update_mask == "box_rendered":
         mask_obs = box_fill(mask_rendered)
     elif ecfg.update_mask == "box_observed":
-        mask_obs = box_fill(obs.mask_observed)
+        carried = (
+            mask_observed_state if mask_observed_state is not None else obs.mask_observed
+        )
+        mask_obs = box_fill(carried)
     else:  # 'init', 'box_gt', 'mask_gt', ... : keep the loader-provided mask
         mask_obs = obs.mask_observed
     mask_gt_obs = obs.mask_gt_observed if obs.mask_gt_observed is not None else mask_obs
@@ -227,8 +241,20 @@ def refine_step(
     trans = zoom_trans(out["trans"], zf.as_array(), True, False)  # un-zoom (B, 3)
     pose_new = RT_transform(pose, out["rot"], trans, t_means, t_stds, ecfg.rot_coord)
 
+    # Full-frame predicted mask for the next iteration's 'box_observed'
+    # update: inverse-zoom the sigmoid mask and binarize, matching the test
+    # symbol's ZoomMaskWithFactor(b_inv_zoom=True) output
+    # (deepIM_flownet.py:350-358, zoom_mask_with_factor.py:35-64).
+    mask_pred_full = None
+    if "mask_logit" in out:
+        mask_prob = jax.nn.sigmoid(jnp.transpose(out["mask_logit"], (0, 3, 1, 2)))
+        mask_pred_full = jnp.round(
+            zoom_mask(mask_prob, zf, binarize_input=True, inverse=True)
+        )
+
     aux = {
         "net": out,
+        "mask_pred_full": mask_pred_full,
         "rot": out["rot"],
         "trans": trans,
         "zoom_trans": out["trans"],
@@ -257,10 +283,18 @@ def refine(
     — all intermediate poses, matching pred_eval's per-iteration error tables
     (tester.py:389-410)."""
     n = num_iters if num_iters is not None else ecfg.num_iters
+    carry_mask = ecfg.update_mask == "box_observed"
 
-    def step(pose, _):
-        pose_new, _aux = refine_step(params, model, obs, meshes, pose, ecfg)
-        return pose_new, pose_new
+    def step(carry, _):
+        pose, mask_state = carry
+        pose_new, aux = refine_step(
+            params, model, obs, meshes, pose, ecfg, mask_observed_state=mask_state
+        )
+        if carry_mask and aux["mask_pred_full"] is not None:
+            mask_state = aux["mask_pred_full"]
+        return (pose_new, mask_state), pose_new
 
-    pose_final, poses = jax.lax.scan(step, pose0, None, length=n)
+    (pose_final, _), poses = jax.lax.scan(
+        step, (pose0, obs.mask_observed), None, length=n
+    )
     return pose_final, poses

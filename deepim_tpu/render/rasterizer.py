@@ -46,8 +46,11 @@ _NEG = -1e30
 class RasterConfig:
     height: int = 480
     width: int = 640
-    tile_h: int = 32
-    tile_w: int = 32
+    # (8, 128) tiles: one (sublane, lane) vreg per elementwise kernel op, and
+    # untiling finished tiles into the (B, H, W) frame moves contiguous
+    # 128-float rows instead of strided 32-float chunks.
+    tile_h: int = 8
+    tile_w: int = 128
     max_faces_per_tile: int = 512
     chunk: int = 32
     znear: float = 0.25
@@ -334,6 +337,17 @@ def rasterize(
     ).reshape(1, p)
 
     planes_flat = _face_planes(fu_flat, fv_flat, fq_flat, fcol_flat)
+
+    def untile_grid(x, channels=None):
+        """(B*T, P[, C]) tile rows -> (B, H, W[, C]) images."""
+        ch = () if channels is None else (channels,)
+        out = (
+            x.reshape(b, cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, *ch)
+            .transpose(0, 1, 3, 2, 4, *(range(5, 5 + len(ch))))
+            .reshape(b, cfg.tiles_y * cfg.tile_h, cfg.tiles_x * cfg.tile_w, *ch)
+        )
+        return out[:, : cfg.height, : cfg.width]
+
     if cfg.use_pallas:
         from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
 
@@ -360,23 +374,26 @@ def rasterize(
         # Shade in the compacted tile domain (W*P pixels, not B*H*W).
         rgb_t, depth_t = _shade_tiles(best_f, planes_flat, px, py)
 
-    # Scatter finished tiles back into the full (B, T, P) grid, then untile.
-    # Empty work items carry garbage (the kernel skips them); drop them.
-    scatter_rows = jnp.where(cnt_top > 0, flat_ids, b * t)
-
-    def untile(x, fill, channels=None):
-        shape = (b * t, p) + (() if channels is None else (channels,))
-        full = jnp.full(shape, fill, x.dtype).at[scatter_rows].set(x, mode="drop")
-        ch = () if channels is None else (channels,)
-        out = (
-            full.reshape(b, cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, *ch)
-            .transpose(0, 1, 3, 2, 4, *(range(5, 5 + len(ch))))
-            .reshape(b, cfg.tiles_y * cfg.tile_h, cfg.tiles_x * cfg.tile_w, *ch)
+    # Place finished tiles back into the full (B, T, P) grid, then untile.
+    # Formulated as a row GATHER via the inverse permutation of the work
+    # list: scatters of (P,) rows serialize on TPU (XLA cannot prove index
+    # uniqueness), while the equivalent gather is fully parallel.  Only the
+    # tiny (B*T,) int32 inverse map is built with a scatter.  Work items with
+    # count 0 carry kernel garbage and un-selected tiles have no work item —
+    # both index the appended zero trash row.
+    w_items_n = cnt_top.shape[0]
+    src = (
+        jnp.full((b * t,), w_items_n, jnp.int32)
+        .at[flat_ids]
+        .set(
+            jnp.where(cnt_top > 0, jnp.arange(w_items_n, dtype=jnp.int32), w_items_n),
+            mode="drop",
         )
-        return out[:, : cfg.height, : cfg.width]
-
-    rgb = untile(rgb_t, 0.0, 3)
-    depth = untile(depth_t, 0.0)
+    )
+    rgb_ext = jnp.concatenate([rgb_t, jnp.zeros((1, p, 3), rgb_t.dtype)], axis=0)
+    depth_ext = jnp.concatenate([depth_t, jnp.zeros((1, p), depth_t.dtype)], axis=0)
+    rgb = untile_grid(rgb_ext[src], 3)
+    depth = untile_grid(depth_ext[src])
     return rgb, depth
 
 

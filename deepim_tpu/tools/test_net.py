@@ -117,8 +117,26 @@ def test_deepim(cfg: Config, output_dir: str | None = None, params=None, batch_s
                 prefix, cfg.TEST.test_epoch, e,
             )
 
+    # FAST_TEST head gating (test symbol construction,
+    # deepIM_flownet.py:624-676): under the shipped eval protocol
+    # (FAST_TEST=True, UPDATE_MASK='box_rendered') the flow decoder and mask
+    # head are dropped from the test graph entirely.  The flax params dict
+    # from the full checkpoint still applies — unused subtrees are ignored.
+    keep_flow = cfg.network.PRED_FLOW and not cfg.TEST.FAST_TEST
+    keep_mask = cfg.network.PRED_MASK and (
+        cfg.TEST.UPDATE_MASK not in ("init", "box_rendered") or not cfg.TEST.FAST_TEST
+    )
+    eval_model = model
+    if (keep_flow, keep_mask) != (cfg.network.PRED_FLOW, cfg.network.PRED_MASK):
+        from deepim_tpu.models import FlowNetDeepIM
+
+        eval_model = FlowNetDeepIM(
+            pred_flow=keep_flow, pred_mask=keep_mask,
+            num_regressors=cfg.network.REGRESSOR_NUM, dtype=jnp.bfloat16,
+        )
+
     if cfg.dataset.dataset.startswith("ModelNet"):
-        return test_modelnet(cfg, params, model, batch_size)
+        return test_modelnet(cfg, params, eval_model, batch_size)
 
     bank_arrays = build_mesh_bank(cfg)
     dataset_name = cfg.dataset.dataset.split("+")[0]
@@ -136,7 +154,7 @@ def test_deepim(cfg: Config, output_dir: str | None = None, params=None, batch_s
         return eval_precomputed_poses(cfg, class_dbs, icp=True)
     if cfg.TEST.BEFORE_ICP:
         return eval_precomputed_poses(cfg, class_dbs, icp=False)
-    results = pred_eval(cfg, params, model, class_dbs, bank_arrays, output_dir, batch_size)
+    results = pred_eval(cfg, params, eval_model, class_dbs, bank_arrays, output_dir, batch_size)
     if cfg.network.PRED_FLOW and not cfg.TEST.FAST_TEST:
         results["flow_epe"] = eval_flow_epe(cfg, params, model, class_dbs, bank_arrays, batch_size)
     return results

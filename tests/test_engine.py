@@ -94,6 +94,49 @@ def test_refine_runs_and_is_jittable(rng):
     np.testing.assert_allclose(rtr, np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
 
 
+def test_refine_box_observed_carries_predicted_mask(rng):
+    """UPDATE_MASK='box_observed': the observed mask fed to the zoom must be
+    the box of the network's predicted full-frame mask from the previous
+    iteration (test symbol emits the inverse-zoomed sigmoid mask,
+    deepIM_flownet.py:350-358; update_data_batch boxes it,
+    data_pair.py:106-123)."""
+    from dataclasses import replace
+
+    bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = build_scene(rng)
+    model, params = make_model_and_params()
+    ecfg = replace(ECFG, update_mask="box_observed")
+    obs = Observation(
+        image_observed=img, mask_observed=box_fill(mask), mask_gt_observed=None,
+        depth_observed=None, k=jnp.asarray(K_MAT),
+    )
+    # Single step exposes the carried artifact.
+    pose1, aux = refine_step(params, model, obs, meshes, pose0, ecfg)
+    mp = aux["mask_pred_full"]
+    assert mp is not None and mp.shape == (2, 1, H, W)
+    vals = np.unique(np.asarray(mp))
+    assert set(vals.tolist()) <= {0.0, 1.0}
+
+    # Full scan with the mask carry compiles and runs.
+    @jax.jit
+    def run(params, pose0):
+        return refine(params, model, obs, meshes, pose0, ecfg)
+
+    pose_final, poses = run(params, pose0)
+    assert np.isfinite(np.asarray(pose_final)).all()
+
+
+def test_fast_test_gated_model_applies_full_checkpoint_params():
+    """FAST_TEST drops the flow decoder + mask head from the test graph
+    (deepIM_flownet.py:624-676); a full-model checkpoint must still apply
+    (unused flax param subtrees are ignored)."""
+    full = FlowNetDeepIM(pred_flow=True, pred_mask=True)
+    params = full.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 8)))
+    gated = FlowNetDeepIM(pred_flow=False, pred_mask=False)
+    out = gated.apply(params, jnp.zeros((2, H, W, 8)))
+    assert set(out.keys()) == {"rot", "trans"}
+    assert out["rot"].shape == (2, 4) and out["trans"].shape == (2, 3)
+
+
 def test_refine_step_identity_net_keeps_pose(rng):
     """With zero-init trans head and near-identity quat init, one refine step
     must barely move the pose (the reference's init design intent)."""
