@@ -11,6 +11,17 @@ device placement/sharding happens in the training driver
 Unlike the reference loader, no rendered images/depths and no flow labels
 are loaded or computed on host: the engine renders and refreshes labels on
 device (SURVEY.md §7.1), so the host side only decodes the observed data.
+
+Determinism invariant: every random draw is keyed by (seed, epoch,
+global_slot) — the shuffle rng is re-derived per epoch and each sample's
+augmentation rngs (mask dilation, VOC background choice, point sampling)
+are derived from the sample's position in the global shuffled stream.
+Thread scheduling inside the pool and process sharding therefore cannot
+change results: all processes of a multi-host run see the same global
+batch order and produce bit-identical samples for the same slot.  (The
+reference's multiprocessing loader has no such guarantee; the round-1
+implementation here shared one rng across pool threads, which broke the
+same-shuffle-everywhere invariant from epoch 2 onward.)
 """
 from __future__ import annotations
 
@@ -68,8 +79,8 @@ class TrainLoader:
         self.local_batch_size = batch_size // self.process_count
         self.class_name = list(cfg.dataset.class_name)
         self.k = cfg.dataset.intrinsic_matrix()
-        self.rng = random.Random(seed)
-        self.nprng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch_counter = 0
         self.voc = VOCBackgrounds(cfg.dataset.root_path)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
@@ -78,15 +89,22 @@ class TrainLoader:
     def epoch_size(self) -> int:
         return len(self.pairdb) // self.batch_size
 
-    def _make_sample(self, rec: dict) -> dict[str, np.ndarray]:
+    def _make_sample(self, rec: dict, epoch: int, global_slot: int) -> dict[str, np.ndarray]:
+        """Build one sample with rngs derived from (seed, epoch, global_slot)
+        so results are independent of thread scheduling and process sharding."""
+        words = np.random.SeedSequence([self.seed, epoch, global_slot]).generate_state(8)
+        rng = random.Random(int.from_bytes(words[:2].tobytes(), "little"))
+        nprng = np.random.RandomState(words[2:])
         s = make_train_sample(
-            rec, self.cfg, self.points_by_class[rec["gt_class"]], self.rng, self.nprng, self.voc
+            rec, self.cfg, self.points_by_class[rec["gt_class"]], rng, nprng, self.voc
         )
         s["class_index"] = np.int32(self.class_name.index(rec["gt_class"]))
         return s
 
-    def _assemble(self, recs: list[dict]) -> TrainBatch:
-        samples = list(self.pool.map(self._make_sample, recs))
+    def _assemble(self, recs: list[dict], epoch: int, slots: list[int]) -> TrainBatch:
+        samples = list(
+            self.pool.map(lambda args: self._make_sample(*args), zip(recs, [epoch] * len(recs), slots))
+        )
         has_pm = "points_model" in samples[0]
         has_depth = "depth_observed" in samples[0]
         return TrainBatch(
@@ -103,11 +121,21 @@ class TrainLoader:
             depth_observed=_stack(samples, "depth_observed") if has_depth else None,
         )
 
-    def epoch(self) -> Iterator[TrainBatch]:
-        """One shuffled epoch with background prefetch (PrefetchingIter.py:34-69)."""
-        order = list(range(len(self.pairdb)))
+    def epoch(self, epoch: int | None = None) -> Iterator[TrainBatch]:
+        """One shuffled epoch with background prefetch (PrefetchingIter.py:34-69).
+
+        `epoch` keys the shuffle and all augmentation rngs; when omitted an
+        internal counter is used (epoch 0, 1, ... in call order)."""
+        if epoch is None:
+            epoch = self._epoch_counter
+            self._epoch_counter += 1
         if self.cfg.TRAIN.SHUFFLE:
-            self.rng.shuffle(order)
+            shuffle_rng = np.random.RandomState(
+                np.random.SeedSequence([self.seed, epoch]).generate_state(8)
+            )
+            order = shuffle_rng.permutation(len(self.pairdb)).tolist()
+        else:
+            order = list(range(len(self.pairdb)))
         n_batches = self.epoch_size
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
@@ -115,11 +143,9 @@ class TrainLoader:
         def producer():
             lo = self.process_index * self.local_batch_size
             for bi in range(n_batches):
-                recs = [
-                    self.pairdb[order[bi * self.batch_size + lo + j]]
-                    for j in range(self.local_batch_size)
-                ]
-                q.put(self._assemble(recs))
+                slots = [bi * self.batch_size + lo + j for j in range(self.local_batch_size)]
+                recs = [self.pairdb[order[s]] for s in slots]
+                q.put(self._assemble(recs, epoch, slots))
             q.put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
