@@ -215,8 +215,33 @@ def update_config_dict(cfg: Config, exp: dict) -> Config:
     return replace(cfg, **updates)
 
 
+def validate_config(cfg: Config) -> Config:
+    """Cross-field consistency checks so no accepted knob is a silent no-op.
+
+    The reference accepts any value and fails (or silently misbehaves) deep
+    inside symbol construction; here invalid combinations raise at load.
+    """
+    if cfg.network.ROT_TYPE not in ("QUAT", "EULER"):
+        raise ValueError(f"network.ROT_TYPE must be QUAT or EULER, got {cfg.network.ROT_TYPE!r}")
+    if cfg.network.ROT_COORD.lower() not in ("model", "camera", "camera_new", "naive"):
+        raise ValueError(f"Unknown network.ROT_COORD {cfg.network.ROT_COORD!r}")
+    if cfg.network.TRAIN_ITER_SIZE > 1 and not cfg.network.TRAIN_ITER:
+        # The reference's inner loop needs the pose variables TRAIN_ITER adds
+        # to the symbol (deepIM_flownet.py:380-384, module.py:1131-1137).
+        raise ValueError("network.TRAIN_ITER_SIZE > 1 requires network.TRAIN_ITER: true")
+    if cfg.train_iter.SE3_DIST_LOSS and cfg.network.ROT_TYPE != "QUAT":
+        raise ValueError("train_iter.SE3_DIST_LOSS requires network.ROT_TYPE='QUAT'")
+    if cfg.TRAIN.optimizer.lower() not in ("sgd", "adam"):
+        raise ValueError(f"Unknown TRAIN.optimizer {cfg.TRAIN.optimizer!r}")
+    if cfg.TRAIN.FLOW_WEIGHT_TYPE not in ("all", "viz", "valid"):
+        raise ValueError(f"Unknown TRAIN.FLOW_WEIGHT_TYPE {cfg.TRAIN.FLOW_WEIGHT_TYPE!r}")
+    if cfg.train_iter.SE3_PM_LOSS and cfg.train_iter.NUM_3D_SAMPLE <= 0:
+        raise ValueError("SE3_PM_LOSS requires train_iter.NUM_3D_SAMPLE > 0")
+    return cfg
+
+
 def load_config(config_file: str | None = None) -> Config:
     cfg = Config()
     if config_file:
         cfg = update_config(cfg, config_file)
-    return cfg
+    return validate_config(cfg)

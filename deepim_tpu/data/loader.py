@@ -176,17 +176,23 @@ class TestLoader:
     def __len__(self) -> int:
         return -(-len(self.pairdb) // self.batch_size)
 
-    def _make_sample(self, rec: dict) -> dict[str, np.ndarray]:
-        s = make_test_sample(rec, self.cfg)
+    def _make_sample(self, rec: dict, index: int) -> dict[str, np.ndarray]:
+        # Deterministic per-record rng (TEST.MASK_DILATE draws; keyed by the
+        # record's dataset position so batching cannot change results).
+        rng = random.Random(
+            int.from_bytes(np.random.SeedSequence([17, index]).generate_state(2).tobytes(), "little")
+        )
+        s = make_test_sample(rec, self.cfg, rng)
         s["class_index"] = np.int32(self.class_name.index(rec["gt_class"]))
         return s
 
     def batches(self) -> Iterator[tuple[dict[str, Any], int]]:
         n = len(self.pairdb)
         for start in range(0, n, self.batch_size):
-            recs = [self.pairdb[min(start + j, n - 1)] for j in range(self.batch_size)]
+            idxs = [min(start + j, n - 1) for j in range(self.batch_size)]
+            recs = [self.pairdb[i] for i in idxs]
             valid = min(self.batch_size, n - start)
-            samples = list(self.pool.map(self._make_sample, recs))
+            samples = list(self.pool.map(lambda a: self._make_sample(*a), zip(recs, idxs)))
             batch = {
                 "image_observed": _stack(samples, "image_observed"),
                 "mask_observed": _stack(samples, "mask_observed"),

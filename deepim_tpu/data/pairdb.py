@@ -176,9 +176,47 @@ class PairDB:
         return pairdb
 
 
-def load_gt_pairdb(cfg, dataset_name: str, image_set: str, class_name: str, root_path: str, devkit_path: str):
+def get_flipped_pair_record(rec: dict[str, Any]) -> dict[str, Any]:
+    """Exchange the observed and rendered roles of one pair
+    (lib/dataset/imdb.py:202-217 get_flipped_pairs_entry, modernized to the
+    live record schema: the reference's version still uses the retired
+    *_real key names and cannot run).  The flipped observed side has no
+    label image; its gt mask derives from the stored rendered depth
+    (mask_gt_observed=None + depth_gt_observed > 0.2 in preprocessing)."""
+    out = dict(rec)
+    out.update(
+        image_observed=rec["image_rendered"],
+        image_rendered=rec["image_observed"],
+        depth_observed=rec["depth_rendered"],
+        depth_gt_observed=rec["depth_rendered"],
+        depth_rendered=rec["depth_observed"],
+        mask_gt_observed=None,
+        pose_observed=rec["pose_rendered"],
+        pose_rendered=rec["pose_observed"],
+        pair_flipped=True,
+    )
+    return out
+
+
+def append_flipped_pairs(pairdb: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Double the pairdb with observed<->rendered exchanged pairs
+    (imdb.py:219-235 append_flipped_pairs; enabled via pair_flip in
+    load_gt_pairdb, load_data.py:107)."""
+    return pairdb + [get_flipped_pair_record(r) for r in pairdb]
+
+
+def load_gt_pairdb(
+    cfg,
+    dataset_name: str,
+    image_set: str,
+    class_name: str,
+    root_path: str,
+    devkit_path: str,
+    pair_flip: bool = False,
+):
     """Factory mirroring lib/utils/load_data.py:92-111: LM6D_REFINE and
-    LM6D_REFINE_SYN variants by name."""
+    LM6D_REFINE_SYN variants by name; pair_flip appends observed<->rendered
+    exchanged pairs (TEST.FLIP_PAIR)."""
     syn = "SYN" in dataset_name.upper()
     db = PairDB(
         name=dataset_name,
@@ -187,7 +225,10 @@ def load_gt_pairdb(cfg, dataset_name: str, image_set: str, class_name: str, root
         cur_class=class_name,
         syn=syn,
     )
-    return db, db.gt_pairdb()
+    pairdb = db.gt_pairdb()
+    if pair_flip:
+        pairdb = append_flipped_pairs(pairdb)
+    return db, pairdb
 
 
 def merge_pairdb(pairdbs: list[list[dict]]) -> list[dict]:

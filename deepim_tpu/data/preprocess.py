@@ -55,6 +55,16 @@ def load_label_mask(path: str, mask_idx: int) -> np.ndarray:
     return (m == mask_idx).astype(np.float32)
 
 
+def load_gt_observed_mask(pair_rec: dict, depth_factor: float) -> np.ndarray:
+    """Unresized gt mask of the observed side: the label image when present,
+    else the gt-observed depth > 0.2 (flipped pairs, where the 'observed'
+    side is a stored render with no label file)."""
+    if pair_rec.get("mask_gt_observed"):
+        return load_label_mask(pair_rec["mask_gt_observed"], pair_rec["mask_idx"])
+    d = load_depth(pair_rec["depth_gt_observed"], depth_factor)
+    return (d > 0.2).astype(np.float32)
+
+
 def min_rect(mask: np.ndarray) -> tuple[int, int, int, int]:
     """(x_start, y_start, x_end, y_end) of the nonzero region
     (lib/utils/get_min_rect.py:9-23)."""
@@ -166,7 +176,7 @@ def make_train_sample(
     im_obs = load_image_rgb(pair_rec["image_observed"])
     im_obs, _ = resize_to(im_obs, target_size, max_size)
 
-    mask_gt = load_label_mask(pair_rec["mask_gt_observed"], pair_rec["mask_idx"])
+    mask_gt = load_gt_observed_mask(pair_rec, cfg.dataset.DEPTH_FACTOR)
     if pair_rec.get("data_syn", False) or (
         voc is not None and cfg.TRAIN.REPLACE_OBSERVED_BG_RATIO > 0
         and rng.random() < cfg.TRAIN.REPLACE_OBSERVED_BG_RATIO
@@ -214,27 +224,49 @@ def make_train_sample(
     return sample
 
 
-def make_test_sample(pair_rec: dict, cfg: Config) -> dict[str, np.ndarray]:
-    """Build one test sample.  The observed mask follows TEST.INIT_MASK; the
-    'box_rendered' default is reproduced on-device by the refine engine each
-    iteration, so only strategies that need observed-side files are loaded
-    here (image.py:297-378)."""
+def make_test_sample(
+    pair_rec: dict, cfg: Config, rng: random.Random | None = None
+) -> dict[str, np.ndarray]:
+    """Build one test sample.  The observed mask follows TEST.INIT_MASK
+    (image.py:297-378).  For the 'box_rendered' default without MASK_DILATE
+    the engine reproduces the box on-device from its own render of
+    pose_rendered (identical to the stored rendered depth's box), so a
+    placeholder is emitted; with TEST.MASK_DILATE (image.py:380-381) the mask
+    must be built and dilated on host, and the engine keeps it for the first
+    iteration (EngineConfig.init_mask_host)."""
     target_size, max_size = cfg.SCALES[0]
     im_obs = load_image_rgb(pair_rec["image_observed"])
     im_obs, _ = resize_to(im_obs, target_size, max_size)
     h, w = im_obs.shape[:2]
 
     init = cfg.TEST.INIT_MASK
+    host_mask = True
     if init in ("mask_gt_observed", "box_gt_observed"):
-        m = load_label_mask(pair_rec["mask_gt_observed"], pair_rec["mask_idx"])
+        m = load_gt_observed_mask(pair_rec, cfg.dataset.DEPTH_FACTOR)
+        m, _ = resize_to(m, target_size, max_size)
+        m = (m >= 0.5).astype(np.float32)
+        mask_obs = box_mask_from(m) if init.startswith("box") else m
+    elif init in ("mask_observed", "box_"):
+        # PoseCNN-predicted observed mask (image.py:314-356).
+        m = load_label_mask(pair_rec["mask_observed"], pair_rec["mask_idx"])
         m, _ = resize_to(m, target_size, max_size)
         m = (m >= 0.5).astype(np.float32)
         mask_obs = box_mask_from(m) if init.startswith("box") else m
     elif init in ("box_rendered", "init"):
-        # Engine recomputes from the on-device render; placeholder here.
-        mask_obs = np.ones((h, w), np.float32)
+        if cfg.TEST.MASK_DILATE and "depth_rendered" in pair_rec:
+            # Dilation needs the real box: build it from the stored rendered
+            # depth like the reference (image.py:357-375).
+            depth_rend = load_depth(pair_rec["depth_rendered"], cfg.dataset.DEPTH_FACTOR)
+            depth_rend, _ = resize_to(depth_rend, target_size, max_size)
+            mask_obs = box_mask_from((depth_rend > 0.2).astype(np.float32))
+        else:
+            # Engine recomputes from the on-device render; placeholder here.
+            mask_obs = np.ones((h, w), np.float32)
+            host_mask = False
     else:
         raise ValueError(f"Unsupported TEST.INIT_MASK {init}")
+    if cfg.TEST.MASK_DILATE and host_mask:
+        mask_obs = mask_dilate_np(mask_obs, rng if rng is not None else random.Random(0))
 
     sample = {
         "image_observed": im_obs.transpose(2, 0, 1),

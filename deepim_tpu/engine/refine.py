@@ -47,6 +47,7 @@ class EngineConfig:
     width: int = 640
     raster: RasterConfig = RasterConfig()
     rot_coord: str = "CAMERA"
+    rot_type: str = "QUAT"  # network.ROT_TYPE: 'QUAT' (4-dim) | 'EULER' (3-dim)
     trans_means: tuple[float, float, float] = (0.0, 0.0, 0.0)
     trans_stds: tuple[float, float, float] = (1.0, 1.0, 1.0)
     pixel_means: tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -57,9 +58,17 @@ class EngineConfig:
     update_mask: str = "box_rendered"
     normalize_flow: float = 20.0
     normalize_3d_point: float = 0.1
+    # network.STANDARD_FLOW_REP (config.py:36): False = the shipped [dh, dw]
+    # channel order, True = standard [dw, dh] (lib/pair_matching/flow.py:55-59).
+    standard_flow_rep: bool = False
     mask_thresh: float = 0.2
     depth_factor_for_input: float = 255.0  # reference divides depth by 255 (deepIM_flownet.py:38-39)
     num_iters: int = 4
+    # True = the loader built a real initial observed mask on host (e.g.
+    # TEST.MASK_DILATE dilated box, image.py:357-381) that must be used for
+    # the FIRST iteration even under update_mask='box_rendered'; later
+    # iterations refresh from the on-device render (data_pair.py:93-105).
+    init_mask_host: bool = False
 
     @staticmethod
     def from_config(cfg: Config, train: bool = False) -> "EngineConfig":
@@ -77,6 +86,7 @@ class EngineConfig:
                 use_pallas=use_pallas,
             ),
             rot_coord=cfg.network.ROT_COORD,
+            rot_type=cfg.network.ROT_TYPE,
             trans_means=cfg.dataset.trans_means,
             trans_stds=cfg.dataset.trans_stds,
             pixel_means=cfg.network.PIXEL_MEANS,
@@ -87,7 +97,9 @@ class EngineConfig:
             update_mask=(cfg.TRAIN.UPDATE_MASK if train else cfg.TEST.UPDATE_MASK),
             normalize_flow=cfg.dataset.NORMALIZE_FLOW,
             normalize_3d_point=cfg.dataset.NORMALIZE_3D_POINT,
+            standard_flow_rep=cfg.network.STANDARD_FLOW_REP,
             num_iters=(cfg.network.TRAIN_ITER_SIZE if train else cfg.TEST.test_iter),
+            init_mask_host=(not train) and cfg.TEST.MASK_DILATE,
         )
 
 
@@ -165,6 +177,7 @@ def refine_step(
     pose: jax.Array,
     ecfg: EngineConfig,
     mask_observed_state: jax.Array | None = None,
+    iter_index: jax.Array | None = None,
 ):
     """One render->zoom->match->update iteration.
 
@@ -191,6 +204,11 @@ def refine_step(
 
     if ecfg.update_mask == "box_rendered":
         mask_obs = box_fill(mask_rendered)
+        if ecfg.init_mask_host and iter_index is not None:
+            # First iteration keeps the host-built (e.g. dilated) mask; the
+            # reference builds iteration 0's input on host (image.py:357-381)
+            # and only refreshes from renders in update_data_batch.
+            mask_obs = jnp.where(iter_index == 0, obs.mask_observed, mask_obs)
     elif ecfg.update_mask == "box_observed":
         carried = (
             mask_observed_state if mask_observed_state is not None else obs.mask_observed
@@ -285,16 +303,17 @@ def refine(
     n = num_iters if num_iters is not None else ecfg.num_iters
     carry_mask = ecfg.update_mask == "box_observed"
 
-    def step(carry, _):
+    def step(carry, it):
         pose, mask_state = carry
         pose_new, aux = refine_step(
-            params, model, obs, meshes, pose, ecfg, mask_observed_state=mask_state
+            params, model, obs, meshes, pose, ecfg,
+            mask_observed_state=mask_state, iter_index=it,
         )
         if carry_mask and aux["mask_pred_full"] is not None:
             mask_state = aux["mask_pred_full"]
         return (pose_new, mask_state), pose_new
 
     (pose_final, _), poses = jax.lax.scan(
-        step, (pose0, obs.mask_observed), None, length=n
+        step, (pose0, obs.mask_observed), jnp.arange(n), length=n
     )
     return pose_final, poses

@@ -98,7 +98,7 @@ def eval_flow_epe(
     predicted flow to the full frame, and compares against the
     depth-reprojection GT flow.  Reports mean EPE over all pixels, visible
     pixels, and visible+background pixels."""
-    from deepim_tpu.data.preprocess import load_depth, load_label_mask
+    from deepim_tpu.data.preprocess import load_depth, load_gt_observed_mask
     from deepim_tpu.engine.refine import refine_step
     from deepim_tpu.ops.flow import flow_from_depth
     from deepim_tpu.ops.zoom import zoom_flow
@@ -145,7 +145,7 @@ def eval_flow_epe(
                 # GT flow from the rendered depth and the (masked) gt-observed
                 # depth (par_generate_gt, tester.py:530-569).
                 d_obs = load_depth(rec["depth_gt_observed"], cfg.dataset.DEPTH_FACTOR)
-                label = load_label_mask(rec["mask_gt_observed"], rec["mask_idx"])
+                label = load_gt_observed_mask(rec, cfg.dataset.DEPTH_FACTOR)
                 d_obs = d_obs * (label > 0)
                 gt_flow, gt_valid = flow_from_depth(
                     jnp.asarray(depth_rend[j : j + 1]),
@@ -153,6 +153,7 @@ def eval_flow_epe(
                     jnp.asarray(rec["pose_rendered"][None]),
                     jnp.asarray(rec["pose_observed"][None]),
                     jnp.asarray(batch["k"]),
+                    standard_rep=cfg.network.STANDARD_FLOW_REP,
                 )
                 gt_flow = np.asarray(gt_flow)[0]
                 visible = np.asarray(gt_valid)[0] > 0

@@ -161,7 +161,8 @@ def compute_losses(
         # batch_updater_py_multi.py:276-298).
         depth_rend = aux["depth_rendered"][:, 0]
         gt_flow, gt_valid = flow_from_depth(
-            depth_rend, batch.depth_gt_observed, pose_src, batch.pose_observed, batch.k
+            depth_rend, batch.depth_gt_observed, pose_src, batch.pose_observed, batch.k,
+            standard_rep=ecfg.standard_flow_rep,
         )
         weights = flow_weights_from_valid(gt_valid, flow_weight_type, depth_rend)
         z_flow, z_weights = zoom_flow(gt_flow, zf, weights)
@@ -194,6 +195,11 @@ def make_train_step(
     """Build the jitted train step.  The returned function runs the full
     TRAIN_ITER_SIZE inner render-and-compare loop (default ecfg.num_iters)."""
     n_inner = num_inner if num_inner is not None else ecfg.num_iters
+    if ticfg.SE3_DIST_LOSS and ecfg.rot_type != "QUAT":
+        # The reference's rot loss is the squared quaternion dot
+        # (deepIM_flownet.py:238-244); it has no defined EULER form (the
+        # reference never combines the two and would compute garbage).
+        raise ValueError("SE3_DIST_LOSS requires network.ROT_TYPE='QUAT'")
 
     def train_step(state: TrainState, batch: TrainBatch, bank_arrays):
         meshes = MeshBuffers.gather(bank_arrays, batch.class_index)

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deepim_tpu.geometry.rotations import quat2mat, quat_normalize
+from deepim_tpu.geometry.rotations import euler2mat, quat2mat, quat_normalize
 
 _EPS = 1e-12
 
@@ -129,18 +129,27 @@ def T_inv_transform(
 
 def RT_transform(
     pose_src: jax.Array,
-    quat: jax.Array,
+    rot: jax.Array,
     t_delta: jax.Array,
     t_means: jax.Array | float = 0.0,
     t_stds: jax.Array | float = 1.0,
     rot_coord: str = "CAMERA",
 ) -> jax.Array:
-    """Apply a (quat, untangled-translation) delta to pose(s) (RT_transform.py:127-151).
+    """Apply a (rotation, untangled-translation) delta to pose(s)
+    (RT_transform.py:127-151).
 
-    pose_src: (..., 3, 4); quat: (..., 4) (normalized internally); t_delta: (..., 3).
+    pose_src: (..., 3, 4); rot: (..., 4) quaternion (normalized internally)
+    or (..., 3) 'sxyz' Euler angles — the reference dispatches on the same
+    last-dimension size (RT_transform.py:130-138, network.ROT_TYPE);
+    t_delta: (..., 3).
     """
     rc = _check_coord(rot_coord)
-    r_delta = quat2mat(quat_normalize(quat))
+    if rot.shape[-1] == 4:
+        r_delta = quat2mat(quat_normalize(rot))
+    elif rot.shape[-1] == 3:
+        r_delta = euler2mat(rot[..., 0], rot[..., 1], rot[..., 2])
+    else:
+        raise ValueError(f"rot delta must have dim 3 (euler) or 4 (quat), got {rot.shape}")
     if rc == "naive":
         return se3_mul(make_pose(r_delta, t_delta), pose_src)
     r = R_transform(pose_src[..., :3, :3], r_delta, rot_coord)

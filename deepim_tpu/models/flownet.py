@@ -132,6 +132,11 @@ class FlowNetDeepIM(nn.Module):
     # selected per sample by class_index (the GroupPicker path,
     # deepim/operator_py/group_picker.py:16-86).
     num_regressors: int = 1
+    # network.ROT_TYPE (config.py:40): 4 = quaternion (L2-normalized), 3 =
+    # 'sxyz' Euler angles (rot_param at deepIM_flownet.py:715; EULER head is
+    # zero-initialized per init_weights :791-792 so the initial delta is the
+    # identity rotation, the role the quat w-column trick plays for QUAT).
+    rot_dim: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -156,7 +161,13 @@ class FlowNetDeepIM(nn.Module):
         fc6 = leaky(nn.Dense(256, dtype=dt, name="fc6", kernel_init=nn.initializers.xavier_uniform())(flat))
         fc7 = leaky(nn.Dense(256, dtype=dt, name="fc7", kernel_init=nn.initializers.xavier_uniform())(fc6))
         g = self.num_regressors
-        rot = nn.Dense(4 * g, dtype=dt, name="rot", kernel_init=_rot_kernel_init)(fc7)
+        if self.rot_dim == 4:
+            rot_init = _rot_kernel_init
+        elif self.rot_dim == 3:
+            rot_init = nn.initializers.zeros
+        else:
+            raise ValueError(f"rot_dim must be 3 (EULER) or 4 (QUAT), got {self.rot_dim}")
+        rot = nn.Dense(self.rot_dim * g, dtype=dt, name="rot", kernel_init=rot_init)(fc7)
         trans = nn.Dense(3 * g, dtype=dt, name="trans", kernel_init=nn.initializers.zeros)(fc7)
         if g > 1:
             from deepim_tpu.ops.group_picker import group_pick
@@ -166,7 +177,9 @@ class FlowNetDeepIM(nn.Module):
             rot = group_pick(rot, class_index, g)
             trans = group_pick(trans, class_index, g)
         rot = rot.astype(jnp.float32)
-        rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+        if self.rot_dim == 4:
+            # L2Normalization of the quaternion head (deepIM_flownet.py:216).
+            rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
         out = {"rot": rot, "trans": trans.astype(jnp.float32)}
 
         if self.pred_flow or self.pred_mask:

@@ -132,7 +132,8 @@ def test_deepim(cfg: Config, output_dir: str | None = None, params=None, batch_s
 
         eval_model = FlowNetDeepIM(
             pred_flow=keep_flow, pred_mask=keep_mask,
-            num_regressors=cfg.network.REGRESSOR_NUM, dtype=jnp.bfloat16,
+            num_regressors=cfg.network.REGRESSOR_NUM,
+            rot_dim=3 if cfg.network.ROT_TYPE == "EULER" else 4, dtype=jnp.bfloat16,
         )
 
     if cfg.dataset.dataset.startswith("ModelNet"):
@@ -146,6 +147,7 @@ def test_deepim(cfg: Config, output_dir: str | None = None, params=None, batch_s
         db, pairdb = load_gt_pairdb(
             cfg, dataset_name, iset + cls if iset.endswith("_") else iset,
             cls, cfg.dataset.root_path, cfg.dataset.dataset_path,
+            pair_flip=cfg.TEST.FLIP_PAIR,
         )
         class_dbs.append((db, pairdb))
     # Precomputed-pose evaluation shortcuts (tester.py:193-279): evaluate the
@@ -157,4 +159,14 @@ def test_deepim(cfg: Config, output_dir: str | None = None, params=None, batch_s
     results = pred_eval(cfg, params, eval_model, class_dbs, bank_arrays, output_dir, batch_size)
     if cfg.network.PRED_FLOW and not cfg.TEST.FAST_TEST:
         results["flow_epe"] = eval_flow_epe(cfg, params, model, class_dbs, bank_arrays, batch_size)
+    if cfg.TEST.VIS_VIDEO:
+        # Per-class refinement-iteration videos (deepim/test.py:38-42
+        # --vis_video; composition per toolkit/gen_video_iter_*).
+        from deepim_tpu.toolkit.gen_video import gen_refine_video
+
+        for db, pairdb in class_dbs:
+            gen_refine_video(
+                cfg, params, eval_model, pairdb, bank_arrays,
+                os.path.join(output_dir, f"video_{db.cur_class}.mp4"),
+            )
     return results

@@ -61,7 +61,8 @@ def build_mesh_bank(cfg: Config) -> tuple:
 def build_model(cfg: Config, dtype=jnp.bfloat16):
     model = FlowNetDeepIM(
         pred_flow=cfg.network.PRED_FLOW, pred_mask=cfg.network.PRED_MASK,
-        num_regressors=cfg.network.REGRESSOR_NUM, dtype=dtype,
+        num_regressors=cfg.network.REGRESSOR_NUM,
+        rot_dim=3 if cfg.network.ROT_TYPE == "EULER" else 4, dtype=dtype,
     )
     channels = 6 + (2 if cfg.network.INPUT_DEPTH else 0) + (2 if cfg.network.INPUT_MASK else 0)
     x = jnp.zeros((1, cfg.height, cfg.width, channels))
@@ -108,8 +109,13 @@ def init_pretrained(cfg: Config, params):
     from deepim_tpu.utils.mxnet_io import load_mxnet_params
 
     mx_params = load_mxnet_params(path)
+    # network.init_from_flownet (deepIM_flownet.py:781-805): the checkpoint is
+    # a vanilla FlowNet — the fc/rot/trans/mask heads are absent and keep the
+    # reference init scheme already applied at model.init.  Without the flag
+    # the checkpoint is a full DeepIM model and every layer must be present.
     return flax_from_mxnet(
-        mx_params, params, input_hw=(cfg.height, cfg.width), strict=False
+        mx_params, params, input_hw=(cfg.height, cfg.width),
+        strict=not cfg.network.init_from_flownet,
     )
 
 
@@ -157,12 +163,19 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
     tb = TBLogger(os.path.join(output_dir, "tb"), enabled=cfg.TRAIN.TENSORBOARD_LOG)
 
     for epoch in range(begin_epoch, cfg.TRAIN.end_epoch):
-        for nbatch, batch in enumerate(loader.epoch()):
+        for nbatch, batch in enumerate(loader.epoch(epoch)):
             batch_d = shard_pytree_batch(batch, mesh)
             if pstep is None:
                 pstep = jit_train_step_dp(step_fn, mesh, state_d, batch_d, bank_d)
             state_d, metrics, _ = pstep(state_d, batch_d, bank_d)
-            host_metrics = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+            # Per-inner-iteration losses (the reference logs every iteration,
+            # module.py:1096-1158; they are the main refinement diagnostic).
+            host_metrics = {}
+            for k, v in metrics.items():
+                vals = np.asarray(v)
+                for it in range(vals.shape[0]):
+                    host_metrics[f"{k}/iter{it}"] = float(vals[it])
+                host_metrics[k] = float(vals[-1])
             speedo(epoch, nbatch, host_metrics)
             if tb.enabled:
                 step = int(np.asarray(state_d.step))
