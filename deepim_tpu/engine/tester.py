@@ -254,4 +254,29 @@ def pred_eval(
         "add": evaluator.evaluate_pose_add(all_poses_est, all_poses_gt),
         "arp_2d": evaluator.evaluate_pose_arp_2d(all_poses_est, all_poses_gt),
     }
+    dump_proj2d_curves(results["arp_2d"], output_dir, num_iters)
     return results
+
+
+def dump_proj2d_curves(arp_2d: dict, output_dir: str, num_iters: int) -> None:
+    """Write the per-class Proj2D accuracy-vs-pixel-threshold tables — the
+    Occlusion-LINEMOD reporting artifact (README.md:43-49,
+    assets/LM6d_Occ_results.png is the plotted form of exactly this data)."""
+    classes = [c for c in arp_2d if arp_2d[c]]
+    if not classes:
+        return
+    os.makedirs(output_dir, exist_ok=True)
+    for it in range(num_iters):
+        rows = {c: arp_2d[c][it] for c in classes if it in arp_2d[c]}
+        if not rows:
+            continue
+        path = os.path.join(output_dir, f"proj2d_curves_iter{it + 1}.txt")
+        first = next(iter(rows.values()))
+        thr = np.asarray(first["curve_thresholds"])
+        with open(path, "w") as f:
+            f.write("# Proj2D accuracy (%) vs pixel threshold, iter "
+                    f"{it + 1}\n# px " + " ".join(classes) + "\n")
+            for ti in range(0, len(thr), 10):  # 1 px steps of the 0.1 px grid
+                vals = " ".join(f"{rows[c]['curve'][ti]:.2f}" for c in classes)
+                f.write(f"{thr[ti]:.1f} {vals}\n")
+        logger.info("wrote %s", path)

@@ -159,6 +159,11 @@ class PoseEvaluator:
             curve = (err[:, None] < grid[None, :]).mean(axis=0)
             acc["auc"] = float(simpson(curve, dx=dx) / 50.0) * 100
             acc["errors"] = err
+            # Per-class accuracy-vs-pixel-threshold curve — the Occlusion
+            # LINEMOD reporting artifact (README.md:43-49,
+            # assets/LM6d_Occ_results.png).
+            acc["curve_thresholds"] = grid
+            acc["curve"] = curve * 100.0
             res.setdefault(cls_name, {})[it] = acc
             logger.info(
                 "%s iter %d: Proj2D @2px %.2f, @5px %.2f, @10px %.2f, @20px %.2f, AUC %.2f",

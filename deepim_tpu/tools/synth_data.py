@@ -150,6 +150,139 @@ def generate_dataset(
             f.write("\n".join(val_lines) + "\n")
 
 
+def generate_occlusion_dataset(
+    devkit_path: str,
+    meshes: dict[str, "object"],
+    k: np.ndarray,
+    n_scenes: int = 8,
+    n_train: int = 0,
+    height: int = 480,
+    width: int = 640,
+    seed: int = 0,
+    depth_factor: float = 1000.0,
+    z_range: tuple[float, float] = (0.5, 0.9),
+    lateral_spread: float = 0.04,
+    raster_cfg=None,
+) -> None:
+    """Multi-instance occlusion scenes in the LM6d_occ-style layout.
+
+    Every scene contains ALL classes at jittered nearby positions, so objects
+    genuinely occlude each other (the Occlusion-LINEMOD setting,
+    README.md:43-49).  The observed frame is the depth-composited render of
+    all instances; its label image carries one class id per pixel, so
+    per-class masks come out of the same multi-instance label file the real
+    LM6d_occ data uses.  gt_observed / rendered stay per class (each object
+    rendered alone at its gt / perturbed pose, as in
+    toolkit/LM6d_0_gen_gt_observed.py), and each class gets its own
+    image_set over the SAME scene frames.
+    """
+    import cv2
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as R
+
+    from deepim_tpu.data.pairdb import save_pose_file
+    from deepim_tpu.render.mesh import write_obj
+    from deepim_tpu.render.rasterizer import RasterConfig, rasterize_single
+
+    rng = np.random.RandomState(seed)
+    cfg = raster_cfg or RasterConfig(height=height, width=width)
+    classes = sorted(meshes.keys())
+
+    info_lines = []
+    for ci, cls in enumerate(classes, start=1):
+        mesh = meshes[cls]
+        mdir = os.path.join(devkit_path, "models", cls)
+        os.makedirs(mdir, exist_ok=True)
+        np.savetxt(os.path.join(mdir, "points.xyz"), mesh.vertices)
+        write_obj(os.path.join(mdir, "textured.obj"), mesh)
+        info_lines.append(f"{ci} d {mesh.diameter() * 1000.0:.4f}")
+    with open(os.path.join(devkit_path, "models", "models_info.txt"), "w") as f:
+        f.write("\n".join(info_lines) + "\n")
+
+    def write_depth(path, depth):
+        cv2.imwrite(path, (np.asarray(depth) * depth_factor).astype(np.uint16))
+
+    def write_color(path, rgb):
+        cv2.imwrite(path, np.asarray(rgb).astype(np.uint8)[:, :, ::-1])
+
+    obs_dir = os.path.join(devkit_path, "data", "observed", "scenes")
+    os.makedirs(obs_dir, exist_ok=True)
+    image_set_dir = os.path.join(devkit_path, "image_set")
+    os.makedirs(image_set_dir, exist_ok=True)
+    lines = {cls: [] for cls in classes}
+
+    for i in range(n_scenes):
+        idx = f"{i:06d}"
+        z0 = rng.uniform(*z_range)
+        rgb_stack, depth_stack, poses = [], [], {}
+        for ci, cls in enumerate(classes, start=1):
+            mesh = meshes[cls]
+            rot = R.random(random_state=rng).as_matrix().astype(np.float32)
+            # Jittered around a shared center so silhouettes overlap.
+            t = np.array(
+                [
+                    rng.uniform(-lateral_spread, lateral_spread),
+                    rng.uniform(-lateral_spread, lateral_spread),
+                    z0 + rng.uniform(-0.05, 0.05),
+                ],
+                np.float32,
+            )
+            pose = np.concatenate([rot, t[:, None]], axis=1)
+            poses[cls] = pose
+            rgb, depth = rasterize_single(
+                jnp.asarray(mesh.vertices), jnp.asarray(mesh.colors),
+                jnp.asarray(mesh.faces), jnp.ones(mesh.num_faces, bool),
+                jnp.asarray(pose), jnp.asarray(k), cfg,
+            )
+            rgb_stack.append(np.asarray(rgb))
+            depth_stack.append(np.asarray(depth))
+
+        # Depth compositing: nearest instance wins each pixel.
+        depth_all = np.stack(depth_stack)                     # (C, H, W)
+        depth_inf = np.where(depth_all > 0, depth_all, np.inf)
+        winner = np.argmin(depth_inf, axis=0)                 # (H, W)
+        any_hit = np.isfinite(depth_inf.min(axis=0))
+        scene_rgb = np.take_along_axis(
+            np.stack(rgb_stack), winner[None, :, :, None], axis=0
+        )[0] * any_hit[:, :, None]
+        scene_depth = np.where(
+            any_hit, np.take_along_axis(depth_all, winner[None], axis=0)[0], 0.0
+        )
+        label = np.where(any_hit, winner + 1, 0).astype(np.uint8)
+
+        write_color(os.path.join(obs_dir, f"{idx}-color.png"), scene_rgb)
+        write_depth(os.path.join(obs_dir, f"{idx}-depth.png"), scene_depth)
+        cv2.imwrite(os.path.join(obs_dir, f"{idx}-label.png"), label)
+
+        for ci, cls in enumerate(classes, start=1):
+            mesh = meshes[cls]
+            gt_dir = os.path.join(devkit_path, "data", "gt_observed", cls)
+            rend_dir = os.path.join(devkit_path, "data", "rendered", cls)
+            os.makedirs(gt_dir, exist_ok=True)
+            os.makedirs(rend_dir, exist_ok=True)
+            pose = poses[cls]
+            write_color(os.path.join(gt_dir, f"{idx}-color.png"), rgb_stack[ci - 1])
+            write_depth(os.path.join(gt_dir, f"{idx}-depth.png"), depth_stack[ci - 1])
+            save_pose_file(os.path.join(gt_dir, f"{idx}-pose.txt"), pose)
+            rpose = sample_perturbed_pose(pose, rng)
+            rrgb, rdepth = rasterize_single(
+                jnp.asarray(mesh.vertices), jnp.asarray(mesh.colors),
+                jnp.asarray(mesh.faces), jnp.ones(mesh.num_faces, bool),
+                jnp.asarray(rpose), jnp.asarray(k), cfg,
+            )
+            write_color(os.path.join(rend_dir, f"{idx}_0-color.png"), np.asarray(rrgb))
+            write_depth(os.path.join(rend_dir, f"{idx}_0-depth.png"), np.asarray(rdepth))
+            save_pose_file(os.path.join(rend_dir, f"{idx}_0-pose.txt"), rpose)
+            lines[cls].append(f"scenes/{idx} {cls}/{idx}_0")
+
+    for cls in classes:
+        with open(os.path.join(image_set_dir, f"val_{cls}.txt"), "w") as f:
+            f.write("\n".join(lines[cls][n_train:]) + "\n")
+        if n_train:
+            with open(os.path.join(image_set_dir, f"train_{cls}.txt"), "w") as f:
+                f.write("\n".join(lines[cls][:n_train]) + "\n")
+
+
 def main():
     import argparse
 
@@ -160,12 +293,19 @@ def main():
     ap.add_argument("--n-train", type=int, default=64)
     ap.add_argument("--n-val", type=int, default=16)
     ap.add_argument("--per-observed", type=int, default=1)
+    ap.add_argument(
+        "--occlusion", action="store_true",
+        help="multi-instance occlusion scenes (LM6d_occ-style) instead of the single-object layout",
+    )
     args = ap.parse_args()
     k = np.array(
         [[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]], np.float32
     )
     meshes = {"cube": make_test_cube(0.08), "sphere": make_icosphere(0.05, 3)}
-    generate_dataset(args.out, meshes, k, args.n_train, args.n_val, args.per_observed)
+    if args.occlusion:
+        generate_occlusion_dataset(args.out, meshes, k, n_scenes=args.n_val + args.n_train, n_train=args.n_train)
+    else:
+        generate_dataset(args.out, meshes, k, args.n_train, args.n_val, args.per_observed)
     print("wrote dataset to", args.out)
 
 
