@@ -62,6 +62,12 @@ class DatasetConfig:
     ZNEAR: float = 0.25
     ZFAR: float = 6.0
     NUM_CLASSES: int = 1
+    # Per-fragment texture sampling in the on-device render instead of
+    # vertex-baked colors (extension knob; the reference's GL renderer
+    # always texture-samples, render_py_multi.py:40-52 — vertex baking is
+    # the TPU default because LINEMOD meshes are dense enough, see
+    # tests/test_texture_fidelity.py for the measured bound).
+    TEXTURE_SAMPLING: bool = False
     class_name_file: str = ""
     class_name: tuple[str, ...] = ()
     trans_means: tuple[float, float, float] = (0.0, 0.0, 0.0)

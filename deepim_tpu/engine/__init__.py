@@ -15,6 +15,7 @@ from deepim_tpu.engine.refine import (  # noqa: F401
     refine_step,
     render_at_pose,
 )
+from deepim_tpu.engine.tracker import make_tracker, track_video_sharded  # noqa: F401
 from deepim_tpu.engine.train import (  # noqa: F401
     TrainBatch,
     TrainState,

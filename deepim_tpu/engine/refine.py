@@ -64,6 +64,10 @@ class EngineConfig:
     mask_thresh: float = 0.2
     depth_factor_for_input: float = 255.0  # reference divides depth by 255 (deepIM_flownet.py:38-39)
     num_iters: int = 4
+    # Exact per-fragment texture sampling in the on-device render
+    # (rasterize_textured) instead of vertex-baked colors; requires a mesh
+    # bank built with keep_textures (dataset.TEXTURE_SAMPLING).
+    texture_sampling: bool = False
     # True = the loader built a real initial observed mask on host (e.g.
     # TEST.MASK_DILATE dilated box, image.py:357-381) that must be used for
     # the FIRST iteration even under update_mask='box_rendered'; later
@@ -100,6 +104,7 @@ class EngineConfig:
             standard_flow_rep=cfg.network.STANDARD_FLOW_REP,
             num_iters=(cfg.network.TRAIN_ITER_SIZE if train else cfg.TEST.test_iter),
             init_mask_host=(not train) and cfg.TEST.MASK_DILATE,
+            texture_sampling=cfg.dataset.TEXTURE_SAMPLING,
         )
 
 
@@ -111,9 +116,22 @@ class MeshBuffers(NamedTuple):
     faces: jax.Array      # (B, F, 3)
     face_valid: jax.Array  # (B, F)
     normals: jax.Array | None = None  # (B, V, 3), for the lit (ModelNet) path
+    uv: jax.Array | None = None        # (B, V, 2), texture-sampling path
+    textures: jax.Array | None = None  # (B, TH, TW, 3)
 
     @staticmethod
-    def gather(bank_arrays: tuple, class_index: jax.Array) -> "MeshBuffers":
+    def gather(bank_arrays, class_index: jax.Array) -> "MeshBuffers":
+        """bank_arrays: legacy tuple (verts, cols, faces, valid[, normals])
+        or a dict with those keys plus optional 'uv'/'textures'."""
+        if isinstance(bank_arrays, dict):
+            def g(key):
+                arr = bank_arrays.get(key)
+                return None if arr is None else arr[class_index]
+
+            return MeshBuffers(
+                g("vertices"), g("colors"), g("faces"), g("face_valid"),
+                g("normals"), g("uv"), g("textures"),
+            )
         verts, cols, faces, valid = bank_arrays[:4]
         normals = bank_arrays[4][class_index] if len(bank_arrays) > 4 else None
         return MeshBuffers(
@@ -161,9 +179,17 @@ def render_at_pose(
             meshes.vertices, meshes.normals, colors, pose,
             light.position, light.intensity, light.brightness_ratio,
         )
-    rgb, depth = rasterize(
-        meshes.vertices, colors, meshes.faces, meshes.face_valid, pose, k, ecfg.raster
-    )
+    if ecfg.texture_sampling and meshes.uv is not None and meshes.textures is not None and light is None:
+        from deepim_tpu.render.rasterizer import rasterize_textured
+
+        rgb, depth = rasterize_textured(
+            meshes.vertices, meshes.uv, meshes.textures,
+            meshes.faces, meshes.face_valid, pose, k, ecfg.raster,
+        )
+    else:
+        rgb, depth = rasterize(
+            meshes.vertices, colors, meshes.faces, meshes.face_valid, pose, k, ecfg.raster
+        )
     rgb = jax.lax.stop_gradient(jnp.transpose(rgb, (0, 3, 1, 2)))
     depth = jax.lax.stop_gradient(depth[:, None])
     return rgb, depth, render_mask(depth, ecfg.mask_thresh)

@@ -29,6 +29,11 @@ class Mesh:
     faces: np.ndarray     # (F, 3) int32
     colors: np.ndarray    # (V, 3) float32 in [0, 255] (RGB)
     normals: np.ndarray | None = None  # (V, 3) float32, lazy
+    # Optional per-vertex texture coordinates + the texture image, for the
+    # exact per-fragment texture-sampling render path (render_py_multi.py
+    # GLSL texture2D equivalent); None = vertex colors only.
+    uv: np.ndarray | None = None        # (V, 2) float32 in [0, 1]
+    texture: np.ndarray | None = None   # (TH, TW, 3) float32 RGB [0, 255]
 
     def vertex_normals(self) -> np.ndarray:
         if self.normals is None:
@@ -129,9 +134,36 @@ def _sample_texture(texture: np.ndarray, uv: np.ndarray) -> np.ndarray:
     )
 
 
-def load_textured_mesh(model_dir: str, obj_name: str = "textured.obj", tex_name: str = "texture_map.png") -> Mesh:
+def split_uv_seams(
+    v: np.ndarray, vt: np.ndarray, fv: np.ndarray, fvt: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Duplicate vertices per unique (position, texcoord) pair so every face
+    corner carries its exact uv — what GL does implicitly with indexed
+    vertex+texcoord attribute pairs (glumpy data.objload builds the same
+    split buffers).  Returns (vertices (V',3), uv (V',2), faces (F,3))."""
+    key = fv.astype(np.int64) * (len(vt) + 1) + (fvt.astype(np.int64) + 1)
+    uniq, inv = np.unique(key.reshape(-1), return_inverse=True)
+    new_faces = inv.reshape(fv.shape).astype(np.int32)
+    vi = (uniq // (len(vt) + 1)).astype(np.int64)
+    ti = (uniq % (len(vt) + 1)).astype(np.int64) - 1
+    new_v = v[vi]
+    new_uv = np.where((ti >= 0)[:, None], vt[np.maximum(ti, 0)], 0.0).astype(np.float32)
+    return new_v, new_uv, new_faces
+
+
+def load_textured_mesh(
+    model_dir: str,
+    obj_name: str = "textured.obj",
+    tex_name: str = "texture_map.png",
+    keep_texture: bool = False,
+) -> Mesh:
     """Load a LINEMOD-style model directory (textured.obj + texture_map.png)
-    into a vertex-colored Mesh (render_py_multi.py:69-81 equivalent)."""
+    into a vertex-colored Mesh (render_py_multi.py:69-81 equivalent).
+
+    Vertices are split at uv seams so each corner's texcoord is exact; the
+    baked color is the texture sampled at the vertex uv.  With
+    `keep_texture`, the uv + texture image are retained for the exact
+    per-fragment texture-sampling render path (rasterize_textured)."""
     import cv2
 
     v, vt, fv, fvt, vc = parse_obj(os.path.join(model_dir, obj_name))
@@ -143,16 +175,13 @@ def load_textured_mesh(model_dir: str, obj_name: str = "textured.obj", tex_name:
         colors = (vc * scale).astype(np.float32)
     elif os.path.exists(tex_path):
         tex = cv2.imread(tex_path, cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR -> RGB
-        # Average the texcoords used per vertex (a vertex may appear with
-        # several uvs across faces; take the first occurrence).
-        vert_uv = np.zeros((v.shape[0], 2), np.float32)
-        seen = np.zeros(v.shape[0], bool)
-        for tri_v, tri_t in zip(fv, fvt):
-            for vi, ti in zip(tri_v, tri_t):
-                if not seen[vi]:
-                    vert_uv[vi] = vt[ti]
-                    seen[vi] = True
+        v, vert_uv, fv = split_uv_seams(v, vt, fv, fvt)
         colors = _sample_texture(tex, vert_uv).astype(np.float32)
+        return Mesh(
+            vertices=v, faces=fv, colors=colors,
+            uv=vert_uv if keep_texture else None,
+            texture=tex.astype(np.float32) if keep_texture else None,
+        )
     else:
         colors = np.full((v.shape[0], 3), 128.0, np.float32)
     return Mesh(vertices=v, faces=fv, colors=colors)
@@ -281,6 +310,8 @@ class MeshBank:
     num_vertices: np.ndarray  # (C,) int32
     num_faces: np.ndarray     # (C,) int32
     normals: np.ndarray | None = None  # (C, Vmax, 3), for the lit render path
+    uv: np.ndarray | None = None       # (C, Vmax, 2), for texture sampling
+    textures: np.ndarray | None = None  # (C, TH, TW, 3) padded texture images
 
     def with_normals(self, meshes: list[Mesh]) -> "MeshBank":
         c, vmax, _ = self.vertices.shape
@@ -291,7 +322,9 @@ class MeshBank:
         return self
 
     @staticmethod
-    def from_meshes(meshes: list[Mesh], pad_multiple: int = 256) -> "MeshBank":
+    def from_meshes(
+        meshes: list[Mesh], pad_multiple: int = 256, keep_textures: bool = False
+    ) -> "MeshBank":
         def rnd(n):
             return ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
 
@@ -311,7 +344,24 @@ class MeshBank:
             valid[i, : m.num_faces] = True
             nv[i] = m.num_vertices
             nf[i] = m.num_faces
-        return MeshBank(verts, cols, faces, valid, nv, nf)
+        bank = MeshBank(verts, cols, faces, valid, nv, nf)
+        if keep_textures:
+            if any(m.uv is None or m.texture is None for m in meshes):
+                raise ValueError("keep_textures requires uv + texture on every mesh")
+            th = max(m.texture.shape[0] for m in meshes)
+            tw = max(m.texture.shape[1] for m in meshes)
+            uv = np.zeros((c, vmax, 2), np.float32)
+            tex = np.zeros((c, th, tw, 3), np.float32)
+            for i, m in enumerate(meshes):
+                # Rescale uv so [0,1] maps to this mesh's texture extent
+                # inside the padded (th, tw) canvas.
+                mh, mw = m.texture.shape[:2]
+                uv[i, : m.num_vertices, 0] = m.uv[:, 0] * ((mw - 1) / max(tw - 1, 1))
+                uv[i, : m.num_vertices, 1] = 1.0 - (1.0 - m.uv[:, 1]) * ((mh - 1) / max(th - 1, 1))
+                tex[i, :mh, :mw] = m.texture
+            bank.uv = uv
+            bank.textures = tex
+        return bank
 
 
 def make_test_cube(size: float = 0.1) -> Mesh:

@@ -18,11 +18,14 @@ face's shaded color.
 Record layout (32 lanes, float32):
   [0:6]  u0 v0 u1 v1 u2 v2   (screen corners)
   [6]    sign(area) * validity  (0 for padded/degenerate faces)
-  [7]    unused
+  [7]    min corner 1/z  (clamp bound — interpolated 1/z inside a triangle
+         is bounded by its corners; clamping is exact and keeps float error
+         on small faces out of the z-buffer)
   [8:11] q plane (a, b, c)
   [11:14] r*q plane
   [14:17] g*q plane
   [17:20] b*q plane
+  [20]   max corner 1/z  (clamp bound)
 """
 from __future__ import annotations
 
@@ -36,10 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 REC_WIDTH = 32
 
 
-def build_face_records(fu, fv, planes, valid):
+def build_face_records(fu, fv, planes, valid, fq):
     """Per-face record table (N, 32) from corner coords + attribute planes.
 
-    fu, fv: (N, 3); planes: (N, 4, 3); valid: (N,) bool.
+    fu, fv, fq: (N, 3) screen corners and corner 1/z; planes: (N, 4, 3);
+    valid: (N,) bool.
     """
     n = fu.shape[0]
     u0, u1, u2 = fu[:, 0], fu[:, 1], fu[:, 2]
@@ -47,13 +51,14 @@ def build_face_records(fu, fv, planes, valid):
     area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
     s = jnp.where(valid & (jnp.abs(area) > 1e-12), jnp.sign(area), 0.0)
     cols = [
-        u0, v0, u1, v1, u2, v2, s, jnp.zeros_like(s),
+        u0, v0, u1, v1, u2, v2, s, jnp.min(fq, axis=1),
         planes[:, 0, 0], planes[:, 0, 1], planes[:, 0, 2],
         planes[:, 1, 0], planes[:, 1, 1], planes[:, 1, 2],
         planes[:, 2, 0], planes[:, 2, 1], planes[:, 2, 2],
         planes[:, 3, 0], planes[:, 3, 1], planes[:, 3, 2],
+        jnp.max(fq, axis=1),
     ]
-    rec = jnp.stack(cols, axis=1)  # (N, 20)
+    rec = jnp.stack(cols, axis=1)  # (N, 21)
     return jnp.pad(rec, ((0, 0), (0, REC_WIDTH - rec.shape[1])))
 
 
@@ -85,7 +90,7 @@ def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, 
         e0 = ((u2 - u1) * (py - v1) - (v2 - v1) * (px - u1)) * s
         e1 = ((u0 - u2) * (py - v2) - (v0 - v2) * (px - u2)) * s
         e2 = ((u1 - u0) * (py - v0) - (v1 - v0) * (px - u0)) * s
-        qi = at(8) * px + at(9) * py + at(10)
+        qi = jnp.clip(at(8) * px + at(9) * py + at(10), at(7), at(20))
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s != 0)
         upd = inside & (qi > zq)
         inv_q = 1.0 / jnp.where(jnp.abs(qi) < 1e-12, 1e-12, qi)

@@ -206,6 +206,10 @@ def _visibility_pass(fu_flat, fv_flat, fq_flat, tile_faces_g, counts, tile_py, t
         qi = (
             w0 * q[..., 0:1] + w1 * q[..., 1:2] + w2 * q[..., 2:3]
         ) * inv_area  # (W, C, P) interpolated 1/z
+        # Inside a triangle the interpolated 1/z is bounded by its corner
+        # values; clamping is exact for inside pixels and stops float error
+        # on small-area faces from poisoning the z-buffer.
+        qi = jnp.clip(qi, jnp.min(q, axis=-1, keepdims=True), jnp.max(q, axis=-1, keepdims=True))
         qi = jnp.where(inside, qi, _NEG)
         q_c = jnp.max(qi, axis=1)  # (W, P)
         a_c = jnp.argmax(qi, axis=1)
@@ -299,7 +303,14 @@ def rasterize(
     fv = jnp.take_along_axis(v[:, :, None], faces, axis=1)
     fz = jnp.take_along_axis(z[:, :, None], faces, axis=1)
     in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=2)
-    valid = face_valid & in_range
+    # Cull near-degenerate slivers (screen area < 1e-6 px^2): their plane
+    # coefficients carry 1/area ~ 1e6+ and amplify float error into garbage
+    # attribute values (e.g. the coincident pole vertices of a lat/long
+    # sphere); such faces cannot legitimately cover a pixel center.
+    screen_area = _edge(
+        fu[..., 0], fv[..., 0], fu[..., 1], fv[..., 1], fu[..., 2], fv[..., 2]
+    )
+    valid = face_valid & in_range & (jnp.abs(screen_area) > 1e-6)
     fq = 1.0 / jnp.where(jnp.abs(fz) < 1e-12, 1e-12, fz)
     fcol = jnp.take_along_axis(colors[:, :, None, :], faces[..., None], axis=1)  # (B,F,3,3)
 
@@ -351,7 +362,9 @@ def rasterize(
     if cfg.use_pallas:
         from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
 
-        face_records = build_face_records(fu_flat, fv_flat, planes_flat, valid.reshape(b * nf))
+        face_records = build_face_records(
+            fu_flat, fv_flat, planes_flat, valid.reshape(b * nf), fq_flat
+        )
         # Rows at index >= count are -1-padded; the kernel's face loop is
         # bounded by count so the garbage gathered for them is never read.
         tile_records = face_records[jnp.maximum(tf_global, 0)]  # (W, K, 32)
@@ -395,6 +408,67 @@ def rasterize(
     rgb = untile_grid(rgb_ext[src], 3)
     depth = untile_grid(depth_ext[src])
     return rgb, depth
+
+
+def texture_gather(textures: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Per-pixel bilinear texture lookup (the GLSL texture2D the reference's
+    fragment shader performs, render_py_multi.py:40-52).
+
+    textures: (B, TH, TW, 3); u, v: (B, H, W) texcoords in [0, 1] (v up, GL
+    convention — matching mesh._sample_texture).  Returns (B, H, W, 3).
+    """
+    b, th, tw, _ = textures.shape
+    up = jnp.clip(u, 0.0, 1.0) * (tw - 1)
+    vp = (1.0 - jnp.clip(v, 0.0, 1.0)) * (th - 1)
+    x0 = jnp.floor(up).astype(jnp.int32)
+    y0 = jnp.floor(vp).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    fx = (up - x0)[..., None]
+    fy = (vp - y0)[..., None]
+    flat = textures.reshape(b, th * tw, 3)
+
+    def pick(yy, xx):
+        idx = (yy * tw + xx).reshape(b, -1)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(u.shape + (3,))
+
+    return (
+        pick(y0, x0) * (1 - fx) * (1 - fy)
+        + pick(y0, x1) * fx * (1 - fy)
+        + pick(y1, x0) * (1 - fx) * fy
+        + pick(y1, x1) * fx * fy
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def rasterize_textured(
+    vertices: jax.Array,
+    uv: jax.Array,
+    textures: jax.Array,
+    faces: jax.Array,
+    face_valid: jax.Array,
+    poses: jax.Array,
+    k: jax.Array,
+    cfg: RasterConfig = RasterConfig(),
+):
+    """Batched render with exact per-fragment texture sampling.
+
+    Runs the SAME tile pipeline but interpolates (u, v) perspective-correctly
+    instead of RGB, then gathers the texture once per output pixel — i.e.
+    true fragment-rate texture2D, the reference GL renderer's semantics.
+    Costs one (B, H, W) 4-tap gather on top of the vertex-color path; use it
+    when vertex-baked colors measurably deviate (high-frequency textures on
+    coarse meshes — see tests/test_texture_fidelity.py for the bound).
+
+    vertices: (B, V, 3); uv: (B, V, 2); textures: (B, TH, TW, 3);
+    faces/face_valid/poses/k as in `rasterize`.
+    Returns rgb (B, H, W, 3) in [0, 255] and depth (B, H, W).
+    """
+    uvz = jnp.concatenate([uv, jnp.zeros_like(uv[..., :1])], axis=-1)
+    uv_img, depth = rasterize(vertices, uvz, faces, face_valid, poses, k, cfg)
+    rgb = texture_gather(textures, uv_img[..., 0], uv_img[..., 1])
+    hit = (depth > 0)[..., None]
+    return jnp.where(hit, rgb, 0.0), depth
 
 
 def rasterize_single(

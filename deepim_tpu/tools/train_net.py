@@ -46,12 +46,19 @@ def load_pairdbs(cfg: Config):
     return dbs, merge_pairdb(merged)
 
 
-def build_mesh_bank(cfg: Config) -> tuple:
+def build_mesh_bank(cfg: Config):
+    keep_tex = cfg.dataset.TEXTURE_SAMPLING
     meshes = [
-        load_textured_mesh(os.path.join(cfg.dataset.model_dir, cls))
+        load_textured_mesh(os.path.join(cfg.dataset.model_dir, cls), keep_texture=keep_tex)
         for cls in cfg.dataset.class_name
     ]
-    bank = MeshBank.from_meshes(meshes)
+    bank = MeshBank.from_meshes(meshes, keep_textures=keep_tex)
+    if keep_tex:
+        return {
+            "vertices": jnp.asarray(bank.vertices), "colors": jnp.asarray(bank.colors),
+            "faces": jnp.asarray(bank.faces), "face_valid": jnp.asarray(bank.face_valid),
+            "uv": jnp.asarray(bank.uv), "textures": jnp.asarray(bank.textures),
+        }
     return (
         jnp.asarray(bank.vertices), jnp.asarray(bank.colors),
         jnp.asarray(bank.faces), jnp.asarray(bank.face_valid),

@@ -87,7 +87,9 @@ def main():
         tile_of = flat_ids % t
         tf_global = jnp.where(tf_sel >= 0, tf_sel + (sample_of * nf)[:, None], -1)
         planes_flat = rz._face_planes(fu_flat, fv_flat, fq_flat, fcol_flat)
-        face_records = build_face_records(fu_flat, fv_flat, planes_flat, valid.reshape(b * nf))
+        face_records = build_face_records(
+            fu_flat, fv_flat, planes_flat, valid.reshape(b * nf), fq_flat
+        )
         tile_records = face_records[jnp.maximum(tf_global, 0)]
         tile_xy = jnp.stack(
             [(tile_of % cfg.tiles_x) * cfg.tile_w, (tile_of // cfg.tiles_x) * cfg.tile_h],
