@@ -396,6 +396,49 @@ def make_test_cube(size: float = 0.1) -> Mesh:
     )
 
 
+def make_bumpy_mesh(radius: float = 0.05, subdiv: int = 3, seed: int = 0,
+                    bump: float = 0.35) -> Mesh:
+    """Asymmetric 'asteroid' mesh: icosphere with a smooth random radial
+    displacement field and a smooth random vertex-color field.  Used by the
+    multi-class synthetic benchmark as LINEMOD stand-ins: asymmetric (so
+    rotation is identifiable), dense, textured via vertex colors."""
+    base = make_icosphere(radius, subdiv)
+    rng = np.random.RandomState(seed)
+    v = base.vertices / radius  # unit sphere directions
+
+    def smooth_field(channels: int) -> np.ndarray:
+        """Low-frequency random field over the sphere: sum of a few random
+        spherical harmonics-ish lobes (dot products with random directions)."""
+        out = np.zeros((v.shape[0], channels), np.float32)
+        for _ in range(6):
+            d = rng.randn(3)
+            d /= np.linalg.norm(d)
+            freq = rng.uniform(1.0, 3.0)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(0.3, 1.0, channels)
+            out += np.cos(freq * np.pi * (v @ d) + phase)[:, None] * amp
+        return out
+
+    disp = smooth_field(1)[:, 0]
+    disp = 1.0 + bump * (disp - disp.min()) / max(np.ptp(disp), 1e-6) - bump / 2
+    verts = (v * disp[:, None] * radius).astype(np.float32)
+    col = smooth_field(3)
+    col = (col - col.min(0)) / np.maximum(np.ptp(col, axis=0), 1e-6)
+    colors = (40.0 + 200.0 * col).astype(np.float32)
+    return Mesh(vertices=verts, faces=base.faces.copy(), colors=colors)
+
+
+def make_benchmark_classes(n: int = 13, subdiv: int = 3) -> dict:
+    """The 13-class synthetic LINEMOD stand-in set: distinct asymmetric
+    shapes/sizes/color fields (the LINEMOD set spans ~0.05-0.3 m diameters)."""
+    out = {}
+    for i in range(n):
+        radius = 0.035 + 0.005 * i
+        out[f"obj{i:02d}"] = make_bumpy_mesh(radius, subdiv, seed=100 + i,
+                                             bump=0.25 + 0.02 * i)
+    return out
+
+
 def make_icosphere(radius: float = 0.05, subdiv: int = 2) -> Mesh:
     """Icosphere for rasterizer tests (many small triangles)."""
     t = (1.0 + np.sqrt(5.0)) / 2.0

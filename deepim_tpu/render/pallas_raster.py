@@ -113,6 +113,159 @@ def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, 
     out_ref[0, 3, :] = b.reshape(p)
 
 
+def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, rec_ref, out_ref,
+                      *, tile_h, tile_w, sub, lanes, ch):
+    """One grid step = one CH-face chunk of one tile's CSR segment.
+
+    Per-chunk scalar-prefetch arrays (1-D int32 — 2-D SMEM operands get
+    lane-padded to 128 and blow the 1 MB SMEM budget): nh = faces in this
+    chunk, init = 1 for the first chunk of its tile, row = output row
+    (trash row for empty chunks), x0/y0 = tile pixel origin.
+    rec_ref: (CH, 32) SMEM block (chunk s of the aligned record array).
+    out_ref: (1, 5, P) accumulator rows [zq, depth, r, g, b] — consecutive
+    chunks of one tile map to the same block, so it stays VMEM-resident and
+    accumulates across the tile's chunks (flushed when the tile changes).
+    """
+    s = pl.program_id(0)
+    n_here = nh_ref[s]
+    x0 = x0_ref[s].astype(jnp.float32)
+    y0 = y0_ref[s].astype(jnp.float32)
+
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 0) * lanes
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 1)
+    )
+    px = x0 + (lin % tile_w).astype(jnp.float32)
+    py = y0 + (lin // tile_w).astype(jnp.float32)
+    p = sub * lanes
+
+    @pl.when(init_ref[s] == 1)
+    def _():
+        out_ref[0, 0, :] = jnp.full((p,), -1e30, jnp.float32)
+        out_ref[0, 1, :] = jnp.zeros((p,), jnp.float32)
+        out_ref[0, 2, :] = jnp.zeros((p,), jnp.float32)
+        out_ref[0, 3, :] = jnp.zeros((p,), jnp.float32)
+        out_ref[0, 4, :] = jnp.zeros((p,), jnp.float32)
+
+    state0 = (
+        out_ref[0, 0, :].reshape(sub, lanes),
+        out_ref[0, 1, :].reshape(sub, lanes),
+        out_ref[0, 2, :].reshape(sub, lanes),
+        out_ref[0, 3, :].reshape(sub, lanes),
+        out_ref[0, 4, :].reshape(sub, lanes),
+    )
+
+    def body(i, state):
+        zq, dep, r, g, b = state
+
+        def at(j):
+            return rec_ref[i, j]
+
+        u0, v0, u1, v1, u2, v2 = at(0), at(1), at(2), at(3), at(4), at(5)
+        sgn = at(6)
+        e0 = ((u2 - u1) * (py - v1) - (v2 - v1) * (px - u1)) * sgn
+        e1 = ((u0 - u2) * (py - v2) - (v0 - v2) * (px - u2)) * sgn
+        e2 = ((u1 - u0) * (py - v0) - (v1 - v0) * (px - u0)) * sgn
+        qi = jnp.clip(at(8) * px + at(9) * py + at(10), at(7), at(20))
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (sgn != 0)
+        upd = inside & (qi > zq)
+        inv_q = 1.0 / jnp.where(jnp.abs(qi) < 1e-12, 1e-12, qi)
+        rr = (at(11) * px + at(12) * py + at(13)) * inv_q
+        gg = (at(14) * px + at(15) * py + at(16)) * inv_q
+        bb = (at(17) * px + at(18) * py + at(19)) * inv_q
+        return (
+            jnp.where(upd, qi, zq),
+            jnp.where(upd, inv_q, dep),
+            jnp.where(upd, rr, r),
+            jnp.where(upd, gg, g),
+            jnp.where(upd, bb, b),
+        )
+
+    zq, dep, r, g, b = jax.lax.fori_loop(0, n_here, body, state0)
+    out_ref[0, 0, :] = zq.reshape(p)
+    out_ref[0, 1, :] = dep.reshape(p)
+    out_ref[0, 2, :] = r.reshape(p)
+    out_ref[0, 3, :] = g.reshape(p)
+    out_ref[0, 4, :] = b.reshape(p)
+
+
+@functools.partial(jax.jit, static_argnames=("w_items", "tile_h", "tile_w", "ch", "interpret"))
+def pallas_csr_visibility_shade(
+    rec_aligned: jax.Array,  # (N_A, 32) chunk-aligned per-tile record segments
+    meta: jax.Array,         # (S, 5) int32 per-chunk metadata (see kernel)
+    w_items: int,
+    tile_h: int,
+    tile_w: int,
+    ch: int = 128,
+    interpret: bool = False,
+):
+    """CSR visibility + shading: 1-D grid over the ACTUAL face chunks.
+
+    Work and DMA scale with sum(ceil(count/CH)) — the real number of
+    face-tile overlaps — instead of w_items x K like the dense kernel, and
+    the SMEM window is (CH, 32) = 16 KB regardless of how full the densest
+    tile is (the dense kernel's (1, K, 32) window caps K at ~200 on a 1 MB
+    SMEM part).  Returns (depth (W, P), rgb (W, P, 3)).
+    """
+    n_a, _ = rec_aligned.shape
+    s_total = meta.shape[0]
+    assert n_a == s_total * ch, (n_a, s_total, ch)
+    p = tile_h * tile_w
+    assert p % 128 == 0
+    sub = p // 128
+
+    # Scalar-prefetch SMEM budget: (S, 8) int32 = 32 B/chunk; keep each call
+    # under ~512 KB and z-merge the group outputs (a tile split across two
+    # groups gets per-pixel max-merged, which is exactly the depth test).
+    s_chunk = 8192
+    zq_acc = jnp.full((w_items, p), -1e30, jnp.float32)
+    acc = jnp.zeros((w_items, 4, p), jnp.float32)
+    for start in range(0, s_total, s_chunk):
+        end = min(start + s_chunk, s_total)
+        n = end - start
+        meta_g = meta[start:end]
+        if start > 0:
+            # A tile split across groups starts from a FRESH output buffer in
+            # the new group; force init on the group's first chunk (the
+            # z-merge below combines the partial halves exactly).
+            meta_g = meta_g.at[0, 1].set(1)
+        nh_g, init_g, row_g, x0_g, y0_g = (meta_g[:, j] for j in range(5))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (ch, REC_WIDTH),
+                    lambda s, nh, ini, row, x0, y0: (s, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 5, p),
+                lambda s, nh, ini, row, x0, y0, w=w_items: (jnp.minimum(row[s], w), 0, 0),
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, lanes=128, ch=ch
+            ),
+            out_shape=jax.ShapeDtypeStruct((w_items + 1, 5, p), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(nh_g, init_g, row_g, x0_g, y0_g, rec_aligned[start * ch : end * ch])[:w_items]
+        # Rows this group touched: [w of first chunk, w of last real chunk].
+        w_lo = meta_g[0, 2]
+        w_hi = jnp.max(jnp.where(meta_g[:, 0] > 0, meta_g[:, 2], -1))
+        rows = jnp.arange(w_items)
+        touched = (rows >= w_lo) & (rows <= w_hi)
+        upd = touched[:, None] & (out[:, 0, :] > zq_acc)
+        zq_acc = jnp.where(upd, out[:, 0, :], zq_acc)
+        acc = jnp.where(upd[:, None, :], out[:, 1:5, :], acc)
+    depth = acc[:, 0, :]
+    rgb = jnp.moveaxis(acc[:, 1:4, :], 1, 2)
+    return depth, rgb
+
+
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
 def pallas_visibility_shade(
     records: jax.Array,   # (W, K, 32) per-tile face records

@@ -69,6 +69,19 @@ class RasterConfig:
     # visibility + shading loop: per-tile face-count loop bounds instead of
     # the lockstep max-count while_loop.  Requires tile_h*tile_w % 128 == 0.
     use_pallas: bool = False
+    # Binning layout for the Pallas path.  'dense' pre-gathers a padded
+    # (work_items, K, 32) record table — fine for small meshes, quadratic
+    # waste for dense ones (K must cover the fullest tile).  'csr' packs
+    # exact per-tile segments (chunk-aligned) from a sorted (tile, face)
+    # pair list, so memory and kernel work scale with the actual number of
+    # face-tile overlaps; 'auto' switches to csr when F > 2048.
+    binning: str = "auto"
+    # Static budget of (tile, face) overlap pairs per sample for csr binning
+    # (0 = 4 * max_faces, enough for small faces which overlap 1-4 tiles;
+    # overflowing pairs drop the highest-id faces' extra tiles).
+    bin_pairs: int = 0
+    # csr chunk length (faces per kernel grid step / SMEM block rows).
+    csr_chunk: int = 128
 
     @property
     def tiles_y(self) -> int:
@@ -144,6 +157,66 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
         keys = jnp.pad(keys, ((0, 0), (0, k_cap - f)), constant_values=2 * f)
     tile_faces = jnp.where(keys < f, keys, -1)
     return tile_faces, counts
+
+
+def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
+    """Sparse binning for one sample: exact (tile, face) overlap pairs.
+
+    Instead of the (T, F) overlap matrix + per-row sort (O(T*F log^2 F) —
+    prohibitive at LINEMOD face counts), emit one entry per actual overlap
+    pair with a static budget N = cfg.bin_pairs:
+
+      1. per-face tile-bbox span; prefix-sum the spans
+      2. pair p -> owning face via searchsorted (the classic vectorized
+         variable-expansion), -> tile via the in-bbox slot
+      3. one sort of the N packed (tile, face) keys groups pairs by tile
+         with ascending face ids (GL draw order preserved for z-ties)
+      4. per-tile offsets/counts via searchsorted
+
+    Returns (sorted_face (N,) int32 [F = invalid], offsets (T,), counts (T,)).
+    Faces whose cumulative span exceeds N lose their remaining tiles (the
+    budget default 4*F covers small faces exactly; giant faces belong to the
+    dense path).
+    """
+    t_y, t_x = cfg.tiles_y, cfg.tiles_x
+    n_tiles = t_y * t_x
+    f = fu.shape[0]
+    n = cfg.bin_pairs if cfg.bin_pairs else 4 * f
+
+    umin = jnp.min(fu, axis=1)
+    umax = jnp.max(fu, axis=1)
+    vmin = jnp.min(fv, axis=1)
+    vmax = jnp.max(fv, axis=1)
+    bx0 = jnp.clip(jnp.floor(umin / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
+    bx1 = jnp.clip(jnp.floor(umax / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
+    by0 = jnp.clip(jnp.floor(vmin / cfg.tile_h), 0, t_y - 1).astype(jnp.int32)
+    by1 = jnp.clip(jnp.floor(vmax / cfg.tile_h), 0, t_y - 1).astype(jnp.int32)
+    offscreen = (umax < 0) | (umin > cfg.width - 1) | (vmax < 0) | (vmin > cfg.height - 1)
+    ok = valid & ~offscreen
+
+    wbb = bx1 - bx0 + 1
+    span = jnp.where(ok, wbb * (by1 - by0 + 1), 0)
+    csum = jnp.cumsum(span)
+
+    p = jnp.arange(n, dtype=jnp.int32)
+    fid = jnp.searchsorted(csum, p, side="right").astype(jnp.int32)
+    fc = jnp.minimum(fid, f - 1)
+    base = csum[fc] - span[fc]
+    slot = p - base
+    w_f = jnp.maximum(wbb[fc], 1)
+    tj = bx0[fc] + slot % w_f
+    ti = by0[fc] + slot // w_f
+    tile = ti * t_x + tj
+    pair_ok = (p < csum[f - 1]) & (fid < f)
+    # Packed sort key: tile-major, face ascending within tile.
+    key = jnp.where(pair_ok, tile * f + fc, n_tiles * f)
+    key = jnp.sort(key)
+    sorted_tile = key // f
+    sorted_face = jnp.where(key < n_tiles * f, key % f, f)
+    offsets = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="right").astype(jnp.int32)
+    counts = jnp.minimum(ends - offsets, cfg.max_faces_per_tile)
+    return sorted_face.astype(jnp.int32), offsets, counts
 
 
 def _bin_batch(fu, fv, valid, cfg: RasterConfig):
@@ -297,6 +370,9 @@ def rasterize(
     t = cfg.num_tiles
     p = cfg.tile_h * cfg.tile_w
     kb = jnp.broadcast_to(k, (b, 3, 3)) if k.ndim == 2 else k
+    use_csr = cfg.use_pallas and (
+        cfg.binning == "csr" or (cfg.binning == "auto" and nf > 2048)
+    )
 
     u, v, z = project_vertices(vertices, poses, kb)  # (B, V)
     fu = jnp.take_along_axis(u[:, :, None], faces, axis=1)  # (B, F, 3)
@@ -314,13 +390,18 @@ def rasterize(
     fq = 1.0 / jnp.where(jnp.abs(fz) < 1e-12, 1e-12, fz)
     fcol = jnp.take_along_axis(colors[:, :, None, :], faces[..., None], axis=1)  # (B,F,3,3)
 
-    tile_faces, counts = _bin_batch(fu, fv, valid, cfg)  # (B, T, K), (B, T)
-
     # Flatten faces across the batch so one work list covers all samples.
     fu_flat = fu.reshape(b * nf, 3)
     fv_flat = fv.reshape(b * nf, 3)
     fq_flat = fq.reshape(b * nf, 3)
     fcol_flat = fcol.reshape(b * nf, 3, 3)
+
+    if use_csr:
+        sorted_face, offsets, counts = jax.vmap(partial(bin_faces_csr, cfg=cfg))(
+            fu, fv, valid
+        )  # (B, N), (B, T), (B, T)
+    else:
+        tile_faces, counts = _bin_batch(fu, fv, valid, cfg)  # (B, T, K), (B, T)
 
     # One globally pooled, count-sorted work list over all (batch, tile)
     # pairs.  `active_tiles` is a per-sample *average* budget: the batch
@@ -332,10 +413,11 @@ def rasterize(
     w_items = min(b * a, b * t)
     counts_flat = counts.reshape(b * t)
     cnt_top, flat_ids = jax.lax.top_k(counts_flat, w_items)  # (W,)
-    tf_sel = tile_faces.reshape(b * t, cfg.max_faces_per_tile)[flat_ids]  # (W, K)
     sample_of = flat_ids // t
     tile_of = flat_ids % t
-    tf_global = jnp.where(tf_sel >= 0, tf_sel + (sample_of * nf)[:, None], -1)
+    if not use_csr:
+        tf_sel = tile_faces.reshape(b * t, cfg.max_faces_per_tile)[flat_ids]  # (W, K)
+        tf_global = jnp.where(tf_sel >= 0, tf_sel + (sample_of * nf)[:, None], -1)
 
     dtype = fu.dtype
     ty = (tile_of // cfg.tiles_x).astype(dtype)
@@ -359,7 +441,51 @@ def rasterize(
         )
         return out[:, : cfg.height, : cfg.width]
 
-    if cfg.use_pallas:
+    if use_csr:
+        from deepim_tpu.render.pallas_raster import (
+            build_face_records,
+            pallas_csr_visibility_shade,
+        )
+
+        face_records = build_face_records(
+            fu_flat, fv_flat, planes_flat, valid.reshape(b * nf), fq_flat
+        )
+        ch = cfg.csr_chunk
+        n_pairs = sorted_face.shape[1]
+        cnt = cnt_top.astype(jnp.int32)
+        seg_off = offsets.reshape(b * t)[flat_ids]  # per-sample pair offset
+        chunks_w = (cnt + ch - 1) // ch             # (W,)
+        chunk_csum = jnp.cumsum(chunks_w)
+        aligned_start = (chunk_csum - chunks_w) * ch
+        # Static capacity: every pair once + <CH padding per selected tile.
+        s_total = (b * n_pairs) // ch + w_items
+        n_a = s_total * ch
+        q = jnp.arange(n_a, dtype=jnp.int32)
+        wq = jnp.minimum(
+            jnp.searchsorted(chunk_csum * ch, q, side="right").astype(jnp.int32),
+            w_items - 1,
+        )
+        local = jnp.clip(q - aligned_start[wq], 0, jnp.maximum(cnt[wq] - 1, 0))
+        src = sample_of[wq] * n_pairs + seg_off[wq] + local
+        face_local = sorted_face.reshape(b * n_pairs)[src]
+        face_global = sample_of[wq] * nf + jnp.minimum(face_local, nf - 1)
+        rec_aligned = face_records[face_global]  # (N_A, 32)
+
+        # Per-chunk metadata (S, 8): n_here, init, out row, x0, y0.
+        s_ids = jnp.arange(s_total, dtype=jnp.int32)
+        w_of_s = wq[s_ids * ch]
+        c_of_s = s_ids - (chunk_csum[w_of_s] - chunks_w[w_of_s])
+        n_here = jnp.clip(cnt[w_of_s] - c_of_s * ch, 0, ch)
+        init = (c_of_s == 0).astype(jnp.int32)
+        out_row = jnp.where(n_here > 0, w_of_s, w_items)
+        x0 = (tile_of[w_of_s] % cfg.tiles_x) * cfg.tile_w
+        y0 = (tile_of[w_of_s] // cfg.tiles_x) * cfg.tile_h
+        meta = jnp.stack([n_here, init, out_row, x0, y0], axis=1).astype(jnp.int32)
+        depth_t, rgb_t = pallas_csr_visibility_shade(
+            rec_aligned, meta, w_items, cfg.tile_h, cfg.tile_w, ch=ch,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif cfg.use_pallas:
         from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
 
         face_records = build_face_records(
