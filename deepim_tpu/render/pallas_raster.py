@@ -113,7 +113,7 @@ def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, 
     out_ref[0, 3, :] = b.reshape(p)
 
 
-def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, rec_ref, out_ref,
+def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_ref, out_ref,
                       *, tile_h, tile_w, sub, lanes, ch):
     """One grid step = one CH-face chunk of one tile's CSR segment.
 
@@ -192,7 +192,7 @@ def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, rec_ref, out_re
 @functools.partial(jax.jit, static_argnames=("w_items", "tile_h", "tile_w", "ch", "interpret"))
 def pallas_csr_visibility_shade(
     rec_aligned: jax.Array,  # (N_A, 32) chunk-aligned per-tile record segments
-    meta: jax.Array,         # (S, 5) int32 per-chunk metadata (see kernel)
+    meta: jax.Array,         # (S, 6) int32 per-chunk metadata (see kernel)
     w_items: int,
     tile_h: int,
     tile_w: int,
@@ -230,19 +230,23 @@ def pallas_csr_visibility_shade(
             # z-merge below combines the partial halves exactly).
             meta_g = meta_g.at[0, 1].set(1)
         nh_g, init_g, row_g, x0_g, y0_g = (meta_g[:, j] for j in range(5))
+        # Block index per chunk: identity for real chunks; junk-suffix chunks
+        # repeat the previous block so the pipeline skips their SMEM DMAs.
+        blk_g = jnp.where(nh_g > 0, jnp.arange(n, dtype=jnp.int32),
+                          jnp.maximum(jnp.max(jnp.where(nh_g > 0, jnp.arange(n, dtype=jnp.int32), 0)), 0))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(n,),
             in_specs=[
                 pl.BlockSpec(
                     (ch, REC_WIDTH),
-                    lambda s, nh, ini, row, x0, y0: (s, 0),
+                    lambda s, nh, ini, row, x0, y0, blk: (blk[s], 0),
                     memory_space=pltpu.SMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (1, 5, p),
-                lambda s, nh, ini, row, x0, y0, w=w_items: (jnp.minimum(row[s], w), 0, 0),
+                lambda s, nh, ini, row, x0, y0, blk, w=w_items: (jnp.minimum(row[s], w), 0, 0),
             ),
         )
         out = pl.pallas_call(
@@ -252,7 +256,7 @@ def pallas_csr_visibility_shade(
             out_shape=jax.ShapeDtypeStruct((w_items + 1, 5, p), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(nh_g, init_g, row_g, x0_g, y0_g, rec_aligned[start * ch : end * ch])[:w_items]
+        )(nh_g, init_g, row_g, x0_g, y0_g, blk_g, rec_aligned[start * ch : end * ch])[:w_items]
         # Rows this group touched: [w of first chunk, w of last real chunk].
         w_lo = meta_g[0, 2]
         w_hi = jnp.max(jnp.where(meta_g[:, 0] > 0, meta_g[:, 2], -1))

