@@ -3,7 +3,10 @@
 One "frame" = one full 4-iteration render-and-compare refinement of one
 object pose at 480x640 (the reference's TEST.test_iter=4 protocol,
 deepim/core/tester.py:389-485) — render, zoom, FlowNet matching forward and
-untangled SE(3) update all on chip.
+untangled SE(3) update all on chip.  The scene uses LINEMOD-scale meshes
+(icosphere subdiv 5: 20,480 faces / 10,242 vertices per object — the real
+LINEMOD models are ~10k-60k vertices), rendered through the CSR-binned
+Pallas rasterizer, so the number reflects production mesh complexity.
 
 Baseline: the MXNet reference publishes no throughput numbers
 (BASELINE.md); its test loop is batch-1 per GPU with four host round-trips
@@ -45,7 +48,7 @@ def main() -> None:
         np.float32,
     )
     ecfg, bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = _build_scene(
-        b, h, w, k_mat, num_iters=iters
+        b, h, w, k_mat, num_iters=iters, mesh_detail=5, active_tiles=48
     )
     # FAST_TEST protocol: the reference's shipped eval configs run with
     # TEST.FAST_TEST=True + UPDATE_MASK='box_rendered', which drops the flow
@@ -87,7 +90,7 @@ def main() -> None:
             {
                 "metric": "refinement_frames_per_s_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (480x640, 4 refine iters, FAST_TEST, batch %d)" % b,
+                "unit": "frames/s (480x640, 20k-face meshes, 4 refine iters, FAST_TEST, batch %d)" % b,
                 "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 2),
             }
         )

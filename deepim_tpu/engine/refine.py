@@ -118,6 +118,23 @@ class MeshBuffers(NamedTuple):
     normals: jax.Array | None = None  # (B, V, 3), for the lit (ModelNet) path
     uv: jax.Array | None = None        # (B, V, 2), texture-sampling path
     textures: jax.Array | None = None  # (B, TH, TW, 3)
+    # Pre-expanded face corners (vertices[faces] / colors[faces], both
+    # (B, F, 3, 3)).  Pose-independent, so expanding once per batch here
+    # keeps the per-render (x4 scan iterations) pipeline gather-free —
+    # rasterize() projects corners directly (bit-identical results).
+    corners: jax.Array | None = None
+    corner_colors: jax.Array | None = None
+
+    def expand_corners(self) -> "MeshBuffers":
+        """Fill `corners`/`corner_colors` from vertices/colors/faces."""
+        if self.corners is not None:
+            return self
+        b, nf, _ = self.faces.shape
+        vattr = jnp.concatenate([self.vertices, self.colors], axis=-1)
+        fattr = jnp.take_along_axis(
+            vattr, self.faces.reshape(b, nf * 3)[..., None], axis=1
+        ).reshape(b, nf, 3, 6)
+        return self._replace(corners=fattr[..., 0:3], corner_colors=fattr[..., 3:6])
 
     @staticmethod
     def gather(bank_arrays, class_index: jax.Array) -> "MeshBuffers":
@@ -131,13 +148,13 @@ class MeshBuffers(NamedTuple):
             return MeshBuffers(
                 g("vertices"), g("colors"), g("faces"), g("face_valid"),
                 g("normals"), g("uv"), g("textures"),
-            )
+            ).expand_corners()
         verts, cols, faces, valid = bank_arrays[:4]
         normals = bank_arrays[4][class_index] if len(bank_arrays) > 4 else None
         return MeshBuffers(
             verts[class_index], cols[class_index], faces[class_index],
             valid[class_index], normals,
-        )
+        ).expand_corners()
 
 
 class LightParams(NamedTuple):
@@ -172,6 +189,7 @@ def render_at_pose(
     With `light` (and mesh normals), vertex colors are lit with the
     reference's point-light model first (render/lighting.py)."""
     colors = meshes.colors
+    corners, corner_colors = meshes.corners, meshes.corner_colors
     if light is not None and meshes.normals is not None:
         from deepim_tpu.render.lighting import lit_vertex_colors
 
@@ -179,6 +197,8 @@ def render_at_pose(
             meshes.vertices, meshes.normals, colors, pose,
             light.position, light.intensity, light.brightness_ratio,
         )
+        corner_colors = None  # lit colors are pose-dependent; re-expand inside
+        corners = None
     if ecfg.texture_sampling and meshes.uv is not None and meshes.textures is not None and light is None:
         from deepim_tpu.render.rasterizer import rasterize_textured
 
@@ -188,7 +208,8 @@ def render_at_pose(
         )
     else:
         rgb, depth = rasterize(
-            meshes.vertices, colors, meshes.faces, meshes.face_valid, pose, k, ecfg.raster
+            meshes.vertices, colors, meshes.faces, meshes.face_valid, pose, k,
+            ecfg.raster, corners=corners, corner_colors=corner_colors,
         )
     rgb = jax.lax.stop_gradient(jnp.transpose(rgb, (0, 3, 1, 2)))
     depth = jax.lax.stop_gradient(depth[:, None])

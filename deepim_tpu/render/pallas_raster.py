@@ -145,18 +145,19 @@ def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_re
         out_ref[0, 1, :] = jnp.zeros((p,), jnp.float32)
         out_ref[0, 2, :] = jnp.zeros((p,), jnp.float32)
         out_ref[0, 3, :] = jnp.zeros((p,), jnp.float32)
-        out_ref[0, 4, :] = jnp.zeros((p,), jnp.float32)
 
     state0 = (
         out_ref[0, 0, :].reshape(sub, lanes),
         out_ref[0, 1, :].reshape(sub, lanes),
         out_ref[0, 2, :].reshape(sub, lanes),
         out_ref[0, 3, :].reshape(sub, lanes),
-        out_ref[0, 4, :].reshape(sub, lanes),
     )
 
     def body(i, state):
-        zq, dep, r, g, b = state
+        # Accumulators stay in q-space (winner's interpolated 1/z and the
+        # r*q / g*q / b*q plane values): the division by z happens ONCE per
+        # output pixel after the kernel, not per candidate face.
+        zq, r, g, b = state
 
         def at(j):
             return rec_ref[i, j]
@@ -169,105 +170,81 @@ def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_re
         qi = jnp.clip(at(8) * px + at(9) * py + at(10), at(7), at(20))
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (sgn != 0)
         upd = inside & (qi > zq)
-        inv_q = 1.0 / jnp.where(jnp.abs(qi) < 1e-12, 1e-12, qi)
-        rr = (at(11) * px + at(12) * py + at(13)) * inv_q
-        gg = (at(14) * px + at(15) * py + at(16)) * inv_q
-        bb = (at(17) * px + at(18) * py + at(19)) * inv_q
+        rr = at(11) * px + at(12) * py + at(13)
+        gg = at(14) * px + at(15) * py + at(16)
+        bb = at(17) * px + at(18) * py + at(19)
         return (
             jnp.where(upd, qi, zq),
-            jnp.where(upd, inv_q, dep),
             jnp.where(upd, rr, r),
             jnp.where(upd, gg, g),
             jnp.where(upd, bb, b),
         )
 
-    zq, dep, r, g, b = jax.lax.fori_loop(0, n_here, body, state0)
+    zq, r, g, b = jax.lax.fori_loop(0, n_here, body, state0)
     out_ref[0, 0, :] = zq.reshape(p)
-    out_ref[0, 1, :] = dep.reshape(p)
-    out_ref[0, 2, :] = r.reshape(p)
-    out_ref[0, 3, :] = g.reshape(p)
-    out_ref[0, 4, :] = b.reshape(p)
+    out_ref[0, 1, :] = r.reshape(p)
+    out_ref[0, 2, :] = g.reshape(p)
+    out_ref[0, 3, :] = b.reshape(p)
 
 
-@functools.partial(jax.jit, static_argnames=("w_items", "tile_h", "tile_w", "ch", "interpret"))
-def pallas_csr_visibility_shade(
-    rec_aligned: jax.Array,  # (N_A, 32) chunk-aligned per-tile record segments
-    meta: jax.Array,         # (S, 6) int32 per-chunk metadata (see kernel)
+def pallas_csr_group(
+    rec_group: jax.Array,   # (S_G * ch, 32) per-chunk face records, chunk-major
+    nh_g: jax.Array,        # (S_G,) int32 faces in each chunk
+    init_g: jax.Array,      # (S_G,) int32 1 = first chunk of its tile
+    row_g: jax.Array,       # (S_G,) int32 output row (w_items = trash)
+    x0_g: jax.Array,        # (S_G,) int32 tile pixel origin x
+    y0_g: jax.Array,        # (S_G,) int32 tile pixel origin y
     w_items: int,
     tile_h: int,
     tile_w: int,
     ch: int = 128,
     interpret: bool = False,
 ):
-    """CSR visibility + shading: 1-D grid over the ACTUAL face chunks.
+    """One group of the CSR visibility+shading grid: a 1-D grid over S_G
+    face chunks, accumulating z/q-space color into (w_items + 1, 4, P)
+    output rows [zq, r*q, g*q, b*q] (row w_items = trash for empty chunks).
 
-    Work and DMA scale with sum(ceil(count/CH)) — the real number of
-    face-tile overlaps — instead of w_items x K like the dense kernel, and
-    the SMEM window is (CH, 32) = 16 KB regardless of how full the densest
-    tile is (the dense kernel's (1, K, 32) window caps K at ~200 on a 1 MB
-    SMEM part).  Returns (depth (W, P), rgb (W, P, 3)).
+    The caller (rasterizer.rasterize) assembles the per-group record block,
+    loops groups under lax.cond (groups past the real chunk count are
+    skipped at RUNTIME — the static grid covers the worst-case pair budget,
+    the executed work scales with the actual overlaps), and z-merges group
+    outputs.  The SMEM window is (CH, 32) = 16 KB regardless of how full
+    the densest tile is.
     """
-    n_a, _ = rec_aligned.shape
-    s_total = meta.shape[0]
-    assert n_a == s_total * ch, (n_a, s_total, ch)
+    s_g = nh_g.shape[0]
+    assert rec_group.shape[0] == s_g * ch, (rec_group.shape, s_g, ch)
     p = tile_h * tile_w
     assert p % 128 == 0
     sub = p // 128
 
-    # Scalar-prefetch SMEM budget: (S, 8) int32 = 32 B/chunk; keep each call
-    # under ~512 KB and z-merge the group outputs (a tile split across two
-    # groups gets per-pixel max-merged, which is exactly the depth test).
-    s_chunk = 8192
-    zq_acc = jnp.full((w_items, p), -1e30, jnp.float32)
-    acc = jnp.zeros((w_items, 4, p), jnp.float32)
-    for start in range(0, s_total, s_chunk):
-        end = min(start + s_chunk, s_total)
-        n = end - start
-        meta_g = meta[start:end]
-        if start > 0:
-            # A tile split across groups starts from a FRESH output buffer in
-            # the new group; force init on the group's first chunk (the
-            # z-merge below combines the partial halves exactly).
-            meta_g = meta_g.at[0, 1].set(1)
-        nh_g, init_g, row_g, x0_g, y0_g = (meta_g[:, j] for j in range(5))
-        # Block index per chunk: identity for real chunks; junk-suffix chunks
-        # repeat the previous block so the pipeline skips their SMEM DMAs.
-        blk_g = jnp.where(nh_g > 0, jnp.arange(n, dtype=jnp.int32),
-                          jnp.maximum(jnp.max(jnp.where(nh_g > 0, jnp.arange(n, dtype=jnp.int32), 0)), 0))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
-            grid=(n,),
-            in_specs=[
-                pl.BlockSpec(
-                    (ch, REC_WIDTH),
-                    lambda s, nh, ini, row, x0, y0, blk: (blk[s], 0),
-                    memory_space=pltpu.SMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 5, p),
-                lambda s, nh, ini, row, x0, y0, blk, w=w_items: (jnp.minimum(row[s], w), 0, 0),
+    # Block index per chunk: identity for real chunks; junk-suffix chunks
+    # repeat the previous block so the pipeline skips their SMEM DMAs.
+    ids = jnp.arange(s_g, dtype=jnp.int32)
+    last_real = jnp.maximum(jnp.max(jnp.where(nh_g > 0, ids, 0)), 0)
+    blk_g = jnp.where(nh_g > 0, ids, last_real)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(s_g,),
+        in_specs=[
+            pl.BlockSpec(
+                (ch, REC_WIDTH),
+                lambda s, nh, ini, row, x0, y0, blk: (blk[s], 0),
+                memory_space=pltpu.SMEM,
             ),
-        )
-        out = pl.pallas_call(
-            functools.partial(
-                _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, lanes=128, ch=ch
-            ),
-            out_shape=jax.ShapeDtypeStruct((w_items + 1, 5, p), jnp.float32),
-            grid_spec=grid_spec,
-            interpret=interpret,
-        )(nh_g, init_g, row_g, x0_g, y0_g, blk_g, rec_aligned[start * ch : end * ch])[:w_items]
-        # Rows this group touched: [w of first chunk, w of last real chunk].
-        w_lo = meta_g[0, 2]
-        w_hi = jnp.max(jnp.where(meta_g[:, 0] > 0, meta_g[:, 2], -1))
-        rows = jnp.arange(w_items)
-        touched = (rows >= w_lo) & (rows <= w_hi)
-        upd = touched[:, None] & (out[:, 0, :] > zq_acc)
-        zq_acc = jnp.where(upd, out[:, 0, :], zq_acc)
-        acc = jnp.where(upd[:, None, :], out[:, 1:5, :], acc)
-    depth = acc[:, 0, :]
-    rgb = jnp.moveaxis(acc[:, 1:4, :], 1, 2)
-    return depth, rgb
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, p),
+            lambda s, nh, ini, row, x0, y0, blk, w=w_items: (jnp.minimum(row[s], w), 0, 0),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, lanes=128, ch=ch
+        ),
+        out_shape=jax.ShapeDtypeStruct((w_items + 1, 4, p), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(nh_g, init_g, row_g, x0_g, y0_g, blk_g, rec_group)[:w_items]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))

@@ -76,12 +76,21 @@ class RasterConfig:
     # pair list, so memory and kernel work scale with the actual number of
     # face-tile overlaps; 'auto' switches to csr when F > 2048.
     binning: str = "auto"
-    # Static budget of (tile, face) overlap pairs per sample for csr binning
-    # (0 = 4 * max_faces, enough for small faces which overlap 1-4 tiles;
-    # overflowing pairs drop the highest-id faces' extra tiles).
+    # Static budget of (tile, face) overlap pairs per sample for csr binning,
+    # interpreted per face: each face may overlap up to bin_pairs / F tiles
+    # (0 = 8 per face, covering bboxes up to ~2 tile columns x 4 tile rows —
+    # ample for dense small-face meshes, the regime csr exists for).  A face
+    # whose bbox spans more tiles loses its farthest tiles; set
+    # bin_pairs = F * num_tiles for exact binning of any mesh, or use the
+    # dense path for giant-face meshes.
     bin_pairs: int = 0
     # csr chunk length (faces per kernel grid step / SMEM block rows).
     csr_chunk: int = 128
+    # Chunks per pallas_call in the csr path.  The grid's static size covers
+    # the worst-case pair budget; groups past the frame's ACTUAL chunk count
+    # are skipped at runtime (lax.cond), so only ~1 group typically runs.
+    # Bounded by the scalar-prefetch SMEM budget (6 int32 arrays x group).
+    csr_group: int = 8192
 
     @property
     def tiles_y(self) -> int:
@@ -159,39 +168,68 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
     return tile_faces, counts
 
 
+_SCAN_CHUNK = 512
+
+
+def _cumsum_mm(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along the last axis via MXU matmuls.
+
+    XLA lowers jnp.cumsum on TPU to a log-pass reduce-window that measures
+    ~3 ns/element (70 ms for the binning pass's 21M elements); a blocked
+    scan — in-chunk prefix as a lower-triangular (C, C) matmul + a short
+    cross-chunk carry — moves the same work to the MXU at <1 ms.  Values
+    are summed in fp32: exact for the integer inputs used here (all counts
+    and indices are < 2^24).
+    """
+    c = _SCAN_CHUNK
+    orig_dtype = x.dtype
+    n = x.shape[-1]
+    pad = (-n) % c
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    nc = x.shape[-1] // c
+    xc = x.reshape(x.shape[:-1] + (nc, c)).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((c, c), jnp.float32))  # tri[s, l] = l <= s
+    within = jnp.einsum("...cl,sl->...cs", xc, tri)
+    carry = jnp.cumsum(xc.sum(-1), axis=-1) - xc.sum(-1)  # exclusive, (.., nc)
+    out = (within + carry[..., None]).reshape(x.shape[:-1] + (nc * c,))
+    return out[..., :n].astype(orig_dtype)
+
+
 def _run_length_decode(boundaries: jax.Array, n: int) -> jax.Array:
     """out[p] = number of boundaries <= p, for p in [0, n) — equivalent to
     searchsorted(boundaries, arange(n), side='right') but via scatter-add
-    markers + cumsum.  XLA's searchsorted lowers to log2 passes of gathers
-    over every query, which measures ~40x slower on TPU than this
+    markers + prefix sum.  XLA's searchsorted lowers to log2 passes of
+    gathers over every query, which measures ~40x slower on TPU than this
     formulation (175 ms vs 4 ms for 64x20k queries on v5e)."""
     markers = jnp.zeros((n,), jnp.int32).at[boundaries].add(1, mode="drop")
-    return jnp.cumsum(markers)
+    return _cumsum_mm(markers)
 
 
 def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
-    """Sparse binning for one sample: exact (tile, face) overlap pairs.
+    """Sparse binning for one sample: (tile, face) overlap pairs.
 
     Instead of the (T, F) overlap matrix + per-row sort (O(T*F log^2 F) —
-    prohibitive at LINEMOD face counts), emit one entry per actual overlap
-    pair with a static budget N = cfg.bin_pairs:
-
-      1. per-face tile-bbox span; prefix-sum the spans
-      2. pair p -> owning face via searchsorted (the classic vectorized
-         variable-expansion), -> tile via the in-bbox slot
-      3. one sort of the N packed (tile, face) keys groups pairs by tile
-         with ascending face ids (GL draw order preserved for z-ties)
-      4. per-tile offsets/counts via searchsorted
+    prohibitive at LINEMOD face counts), enumerate each face's bbox tiles
+    directly in a static (F, S) layout (S = per-face tile budget,
+    bin_pairs / F) — pure elementwise index math, no scatters (TPU
+    scatter-adds serialize per index; an earlier prefix-sum/run-length
+    formulation of this pass spent ~200 ms/frame in them at LINEMOD scale)
+    — then sort the N = F*S packed keys once to group pairs by tile with
+    ascending face ids (GL draw order preserved for z-ties), and read
+    per-tile offsets/counts off the sorted keys via searchsorted.
 
     Returns (sorted_face (N,) int32 [F = invalid], offsets (T,), counts (T,)).
-    Faces whose cumulative span exceeds N lose their remaining tiles (the
-    budget default 4*F covers small faces exactly; giant faces belong to the
-    dense path).
+    Faces whose bbox spans more than S tiles lose their farthest tiles
+    (bbox row-major); the default S=8 covers every face whose bbox spans at
+    most 2 tile columns x 4 tile rows (~250 x 30 px at the default tile
+    size) — set bin_pairs = F * num_tiles for exact binning of any mesh.
     """
     t_y, t_x = cfg.tiles_y, cfg.tiles_x
     n_tiles = t_y * t_x
     f = fu.shape[0]
-    n = cfg.bin_pairs if cfg.bin_pairs else 4 * f
+    s = min(max(cfg.bin_pairs // f, 1), n_tiles) if cfg.bin_pairs else min(8, n_tiles)
+    n = f * s
 
     umin = jnp.min(fu, axis=1)
     umax = jnp.max(fu, axis=1)
@@ -204,30 +242,29 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
     offscreen = (umax < 0) | (umin > cfg.width - 1) | (vmax < 0) | (vmin > cfg.height - 1)
     ok = valid & ~offscreen
 
-    wbb = bx1 - bx0 + 1
-    span = jnp.where(ok, wbb * (by1 - by0 + 1), 0)
-    csum = jnp.cumsum(span)
-
-    p = jnp.arange(n, dtype=jnp.int32)
-    fid = _run_length_decode(csum, n)
-    fc = jnp.minimum(fid, f - 1)
-    base = csum[fc] - span[fc]
-    slot = p - base
-    w_f = jnp.maximum(wbb[fc], 1)
-    tj = bx0[fc] + slot % w_f
-    ti = by0[fc] + slot // w_f
-    tile = ti * t_x + tj
-    pair_ok = (p < csum[f - 1]) & (fid < f)
+    wbb = jnp.maximum(bx1 - bx0 + 1, 1)
+    span = wbb * (by1 - by0 + 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (f, s), 1)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (f, s), 0)
+    pair_ok = ok[:, None] & (slot < span[:, None])
+    tile = (
+        (by0[:, None] + slot // wbb[:, None]) * t_x + bx0[:, None] + slot % wbb[:, None]
+    )
+    tile = jnp.clip(tile, 0, n_tiles - 1)
     # Packed sort key: tile-major, face ascending within tile.  Keys are
     # unique (one pair per (tile, face)), so an unstable sort is exact and
     # cheaper than jnp.sort's stable default.
-    key = jnp.where(pair_ok, tile * f + fc, n_tiles * f)
+    key = jnp.where(pair_ok, tile * f + fidx, n_tiles * f).reshape(n)
     (key,) = jax.lax.sort((key,), is_stable=False)
     sorted_tile = key // f
     sorted_face = jnp.where(key < n_tiles * f, key % f, f)
     offsets = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="right").astype(jnp.int32)
-    counts = jnp.minimum(ends - offsets, cfg.max_faces_per_tile)
+    # No K clip: CSR segments are exact-packed, so the per-tile face budget
+    # is the pair budget itself (the dense path's K cap would silently drop
+    # faces on dense meshes — at LINEMOD density most covered tiles overflow
+    # a 1k cap).
+    counts = ends - offsets
     return sorted_face.astype(jnp.int32), offsets, counts
 
 
@@ -368,6 +405,8 @@ def rasterize(
     poses: jax.Array,
     k: jax.Array,
     cfg: RasterConfig = RasterConfig(),
+    corners: jax.Array | None = None,
+    corner_colors: jax.Array | None = None,
 ):
     """Batched render.
 
@@ -376,6 +415,15 @@ def rasterize(
     Returns rgb (B, H, W, 3) in [0, 255] and depth (B, H, W).
     Per-class mesh selection happens upstream by gathering a MeshBank with
     class indices (replaces per-class gloo programs, render_py_multi.py:66-81).
+
+    corners/corner_colors ((B, F, 3, 3), optional): pre-expanded face-corner
+    positions/colors (vertices[faces] / colors[faces]).  Passing them removes
+    the per-render vertex->corner gather from the hot path — corner expansion
+    is pose-independent, so callers that render the same mesh repeatedly
+    (the 4-iteration refinement scan) expand ONCE per batch
+    (MeshBuffers.gather) and pay only the 3x-redundant projection matmul,
+    which is MXU-trivial; the gather of projected attributes costs ~45 ms at
+    LINEMOD scale per render.  Results are bit-identical either way.
     """
     b, nv, _ = vertices.shape
     nf = faces.shape[1]
@@ -386,22 +434,21 @@ def rasterize(
         cfg.binning == "csr" or (cfg.binning == "auto" and nf > 2048)
     )
 
-    u, v, z = project_vertices(vertices, poses, kb)  # (B, V)
-    # One row-gather of packed 8-float per-vertex attribute rows instead of
-    # four scalar-structured gathers: TPU gathers amortize per-index cost
-    # over the row width (32 B here), which is ~4x faster than gathering
-    # (B, V, 1)-shaped scalars corner by corner.
-    attrs = jnp.concatenate(
-        [u[..., None], v[..., None], z[..., None], colors,
-         jnp.zeros(u.shape + (2,), u.dtype)], axis=-1,
-    )  # (B, V, 8)
-    fattr = jnp.take_along_axis(
-        attrs, faces.reshape(b, nf * 3)[..., None], axis=1
-    ).reshape(b, nf, 3, 8)
-    fu = fattr[..., 0]  # (B, F, 3)
-    fv = fattr[..., 1]
-    fz = fattr[..., 2]
-    fcol = fattr[..., 3:6]  # (B, F, 3, 3)
+    if corners is None or corner_colors is None:
+        # One row-gather of packed per-vertex rows instead of per-corner
+        # scalar gathers: TPU gathers amortize per-index cost over the row
+        # width.
+        vattr = jnp.concatenate([vertices, colors], axis=-1)  # (B, V, 6)
+        fattr = jnp.take_along_axis(
+            vattr, faces.reshape(b, nf * 3)[..., None], axis=1
+        ).reshape(b, nf, 3, 6)
+        corners = fattr[..., 0:3]
+        corner_colors = fattr[..., 3:6]
+    u, v, z = project_vertices(corners.reshape(b, nf * 3, 3), poses, kb)
+    fu = u.reshape(b, nf, 3)  # (B, F, 3)
+    fv = v.reshape(b, nf, 3)
+    fz = z.reshape(b, nf, 3)
+    fcol = corner_colors  # (B, F, 3, 3)
     in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=2)
     # Cull near-degenerate slivers (screen area < 1e-6 px^2): their plane
     # coefficients carry 1/area ~ 1e6+ and amplify float error into garbage
@@ -467,7 +514,7 @@ def rasterize(
     if use_csr:
         from deepim_tpu.render.pallas_raster import (
             build_face_records,
-            pallas_csr_visibility_shade,
+            pallas_csr_group,
         )
 
         face_records = build_face_records(
@@ -475,36 +522,92 @@ def rasterize(
         )
         ch = cfg.csr_chunk
         n_pairs = sorted_face.shape[1]
+        sorted_face_flat = sorted_face.reshape(b * n_pairs)
         cnt = cnt_top.astype(jnp.int32)
         seg_off = offsets.reshape(b * t)[flat_ids]  # per-sample pair offset
         chunks_w = (cnt + ch - 1) // ch             # (W,)
         chunk_csum = jnp.cumsum(chunks_w)
-        aligned_start = (chunk_csum - chunks_w) * ch
-        # Static capacity: every pair once + <CH padding per selected tile.
+        total_chunks = chunk_csum[w_items - 1]      # ACTUAL chunks this frame
+        # Static capacity: every budgeted pair once + <CH padding per
+        # selected tile.  All metadata is chunk-level (S,) — nothing below
+        # materializes pair-level (S*CH) index arrays.
         s_total = (b * n_pairs) // ch + w_items
-        n_a = s_total * ch
-        q = jnp.arange(n_a, dtype=jnp.int32)
-        wq = jnp.minimum(_run_length_decode(chunk_csum * ch, n_a), w_items - 1)
-        local = jnp.clip(q - aligned_start[wq], 0, jnp.maximum(cnt[wq] - 1, 0))
-        src = sample_of[wq] * n_pairs + seg_off[wq] + local
-        face_local = sorted_face.reshape(b * n_pairs)[src]
-        face_global = sample_of[wq] * nf + jnp.minimum(face_local, nf - 1)
-        rec_aligned = face_records[face_global]  # (N_A, 32)
+        group = min(cfg.csr_group, s_total)
+        n_groups = -(-s_total // group)
+        s_total = n_groups * group
+        # Chunk -> work item map (one prefix-sum); the rest of the per-chunk
+        # metadata is derived lazily INSIDE each group so the (s_total,)
+        # scalar gathers are only paid for groups that actually run.
+        w_of_s = jnp.minimum(_run_length_decode(chunk_csum, s_total), w_items - 1)
 
-        # Per-chunk metadata (S, 8): n_here, init, out row, x0, y0.
-        s_ids = jnp.arange(s_total, dtype=jnp.int32)
-        w_of_s = wq[s_ids * ch]
-        c_of_s = s_ids - (chunk_csum[w_of_s] - chunks_w[w_of_s])
-        n_here = jnp.clip(cnt[w_of_s] - c_of_s * ch, 0, ch)
-        init = (c_of_s == 0).astype(jnp.int32)
-        out_row = jnp.where(n_here > 0, w_of_s, w_items)
-        x0 = (tile_of[w_of_s] % cfg.tiles_x) * cfg.tile_w
-        y0 = (tile_of[w_of_s] // cfg.tiles_x) * cfg.tile_h
-        meta = jnp.stack([n_here, init, out_row, x0, y0], axis=1).astype(jnp.int32)
-        depth_t, rgb_t = pallas_csr_visibility_shade(
-            rec_aligned, meta, w_items, cfg.tile_h, cfg.tile_w, ch=ch,
-            interpret=jax.default_backend() == "cpu",
+        interpret = jax.default_backend() == "cpu"
+        zq_acc = jnp.full((w_items, p), _NEG, jnp.float32)
+        rgbq_acc = jnp.zeros((w_items, 3, p), jnp.float32)
+        rows = jnp.arange(w_items)
+        for g in range(n_groups):
+            sl = slice(g * group, (g + 1) * group)
+            w_g = w_of_s[sl]
+            s_ids_g = jnp.arange(g * group, (g + 1) * group, dtype=jnp.int32)
+
+            def run_group(w_g=w_g, s_ids_g=s_ids_g, g=g,
+                          zq_acc=zq_acc, rgbq_acc=rgbq_acc):
+                c_of_s = s_ids_g - (chunk_csum[w_g] - chunks_w[w_g])
+                nh_g = jnp.clip(cnt[w_g] - c_of_s * ch, 0, ch)
+                init_g = (c_of_s == 0).astype(jnp.int32)
+                if g > 0:
+                    # A tile split across groups starts from a FRESH output
+                    # buffer in the new group; force init on the group's
+                    # first chunk (the z-merge below combines the halves).
+                    init_g = init_g.at[0].set(1)
+                row_g = jnp.where(nh_g > 0, w_g, w_items)
+                x0_g = (tile_of[w_g] % cfg.tiles_x) * cfg.tile_w
+                y0_g = (tile_of[w_g] // cfg.tiles_x) * cfg.tile_h
+                # First budgeted pair of each chunk within the flat sorted-
+                # pair array; the chunk's CH pair slots are CONTIGUOUS from
+                # there (a tile's CSR segment is contiguous), so the face
+                # ids of a whole chunk are one dynamic slice, not CH scalar
+                # gathers.
+                start_g = jnp.clip(
+                    sample_of[w_g] * n_pairs + seg_off[w_g] + c_of_s * ch,
+                    0, b * n_pairs - ch,
+                )
+                sf = jax.vmap(
+                    lambda st: jax.lax.dynamic_slice(sorted_face_flat, (st,), (ch,))
+                )(start_g)  # (G, CH)
+                fg = (sample_of[w_g] * nf)[:, None] + jnp.minimum(sf, nf - 1)
+                rec = face_records[fg.reshape(-1)]  # (G*CH, 32)
+                out = pallas_csr_group(
+                    rec, nh_g, init_g, row_g, x0_g, y0_g,
+                    w_items, cfg.tile_h, cfg.tile_w, ch=ch, interpret=interpret,
+                )
+                # Rows this group touched: [w of first chunk, w of last real
+                # chunk]; merge by the z-test (exact for split tiles).
+                w_hi = jnp.max(jnp.where(nh_g > 0, row_g, -1))
+                touched = (rows >= w_g[0]) & (rows <= w_hi)
+                upd = touched[:, None] & (out[:, 0, :] > zq_acc)
+                return (
+                    jnp.where(upd, out[:, 0, :], zq_acc),
+                    jnp.where(upd[:, None, :], out[:, 1:4, :], rgbq_acc),
+                )
+
+            if g == 0:
+                zq_acc, rgbq_acc = run_group()
+            else:
+                # Groups past the actual chunk count are SKIPPED at runtime:
+                # the static budget covers the worst case, the executed
+                # gathers/kernel scale with the real face-tile overlaps.
+                zq_acc, rgbq_acc = jax.lax.cond(
+                    g * group < total_chunks,
+                    run_group,
+                    lambda zq_acc=zq_acc, rgbq_acc=rgbq_acc: (zq_acc, rgbq_acc),
+                )
+        hit = zq_acc > 0
+        qsafe = jnp.where(hit, zq_acc, 1.0)
+        depth_t = jnp.where(hit, 1.0 / qsafe, 0.0)
+        rgb_t = jnp.where(
+            hit[:, None, :], rgbq_acc / qsafe[:, None, :], 0.0
         )
+        rgb_t = jnp.moveaxis(rgb_t, 1, 2)  # (W, P, 3)
     elif cfg.use_pallas:
         from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
 
@@ -549,11 +652,12 @@ def rasterize(
             mode="drop",
         )
     )
-    rgb_ext = jnp.concatenate([rgb_t, jnp.zeros((1, p, 3), rgb_t.dtype)], axis=0)
-    depth_ext = jnp.concatenate([depth_t, jnp.zeros((1, p), depth_t.dtype)], axis=0)
-    rgb = untile_grid(rgb_ext[src], 3)
-    depth = untile_grid(depth_ext[src])
-    return rgb, depth
+    # One fused (W+1, P, 4) row gather for [r, g, b, depth] instead of two
+    # passes (row-gather cost is per-row overhead dominated).
+    rgbd = jnp.concatenate([rgb_t, depth_t[..., None]], axis=-1)  # (W, P, 4)
+    rgbd_ext = jnp.concatenate([rgbd, jnp.zeros((1, p, 4), rgbd.dtype)], axis=0)
+    out = untile_grid(rgbd_ext[src], 4)
+    return out[..., 0:3], out[..., 3]
 
 
 def texture_gather(textures: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:

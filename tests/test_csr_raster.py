@@ -43,15 +43,28 @@ def test_csr_matches_dense_and_xla(mesh_fn):
     verts, cols, faces, fval, pose = _scene(mesh_fn())
     k = jnp.asarray(K_MAT)
     outs = {}
+    # The cube's faces span many tiles; give csr the exact T*F pair budget
+    # (the default per-face budget targets dense small-face meshes).
+    full_budget = BASE.num_tiles * int(faces.shape[1])
     for name, cfg in [
         ("xla", BASE),
         ("dense", replace(BASE, use_pallas=True, binning="dense")),
-        ("csr", replace(BASE, use_pallas=True, binning="csr")),
+        ("csr", replace(BASE, use_pallas=True, binning="csr", bin_pairs=full_budget)),
     ]:
         rgb, depth = rasterize(verts, cols, faces, fval, pose, k, cfg)
         outs[name] = (np.asarray(rgb), np.asarray(depth))
+    # The three variants are separately compiled programs; the compiler may
+    # FMA-contract the plane/edge evaluations differently, so depth agrees
+    # to ~1 ulp rather than bit-for-bit.  Hit masks (coverage + z-winner
+    # structure) must agree exactly; depth gets a metric-negligible
+    # tolerance.
     for name in ("dense", "csr"):
-        np.testing.assert_array_equal(outs[name][1], outs["xla"][1], err_msg=f"{name} depth")
+        np.testing.assert_array_equal(
+            outs[name][1] > 0, outs["xla"][1] > 0, err_msg=f"{name} hits"
+        )
+        np.testing.assert_allclose(
+            outs[name][1], outs["xla"][1], atol=1e-5, err_msg=f"{name} depth"
+        )
         np.testing.assert_allclose(outs[name][0], outs["xla"][0], atol=5e-3, err_msg=f"{name} rgb")
     assert (outs["csr"][1] > 0).mean() > 0.05  # scene actually rendered
 
