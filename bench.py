@@ -8,6 +8,18 @@ untangled SE(3) update all on chip.  The scene uses LINEMOD-scale meshes
 LINEMOD models are ~10k-60k vertices), rendered through the CSR-binned
 Pallas rasterizer, so the number reflects production mesh complexity.
 
+Measurement protocol hardening:
+  * The scene arrays (observation images, masks, mesh buffers) are passed
+    as jit ARGUMENTS, not closure constants — closed-over constants get
+    serialized into the compile payload (a 20k-face scene at batch 64 is
+    ~0.5 GB of constants, which overflows remote-compile transports).
+  * Repetitions are CHAINED: each call's output pose feeds the next call's
+    input, so no dispatch can be served from an execution-result cache and
+    the device must finish call i before starting call i+1.
+  * Each call is individually blocked and timed; the run aborts (exit 1)
+    if any call is implausibly fast relative to the median (caching), if
+    outputs are non-finite, or if the chained poses stop changing.
+
 Baseline: the MXNet reference publishes no throughput numbers
 (BASELINE.md); its test loop is batch-1 per GPU with four host round-trips
 per iteration (OpenGL render, numpy pose math, data-batch rebuild).  We use
@@ -39,16 +51,21 @@ def main() -> None:
     from deepim_tpu.models import FlowNetDeepIM
     from deepim_tpu.ops.masks import box_fill
 
-    # Batch 64 per chip: eval-time refinement is embarrassingly batch-
-    # parallel (the reference is locked to batch-1 per GPU, tester.py:83);
-    # larger per-chip batch raises MXU utilization (64% vs 34% at 16).
-    b, h, w, iters = 64, 480, 640, 4
+    b = int(os.environ.get("BENCH_BATCH", "64"))
+    # BENCH_TEXTURE=1: render through the exact per-fragment texture-
+    # sampling path (dataset.TEXTURE_SAMPLING / rasterize_textured) instead
+    # of vertex-baked colors, to price the fragment-rate texture_gather at
+    # 480x640 (VERDICT r2 item 7; reference GLSL texture2D,
+    # render_py_multi.py:40-52).
+    texture = os.environ.get("BENCH_TEXTURE", "0") == "1"
+    h, w, iters = 480, 640, 4
     k_mat = np.array(
         [[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]],
         np.float32,
     )
     ecfg, bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = _build_scene(
-        b, h, w, k_mat, num_iters=iters, mesh_detail=5, active_tiles=48
+        b, h, w, k_mat, num_iters=iters, mesh_detail=5, active_tiles=48,
+        texture_sampling=texture,
     )
     # FAST_TEST protocol: the reference's shipped eval configs run with
     # TEST.FAST_TEST=True + UPDATE_MASK='box_rendered', which drops the flow
@@ -67,30 +84,55 @@ def main() -> None:
     )
 
     @jax.jit
-    def run(params, pose0):
+    def run(params, obs, meshes, pose0):
+        # Scene data enters through the argument list (see module docstring);
+        # only `model` (a hashable module config) and `ecfg` (static) close.
         return refine(params, model, obs, meshes, pose0, ecfg)[0]
 
-    # Distinct initial poses per repetition (defeats any execution-result
-    # caching between identical dispatches).
+    pose = jnp.asarray(pose0)
+    jax.block_until_ready(run(params, obs, meshes, pose))  # compile + warmup
+
     n_rep = 10
-    rng = np.random.RandomState(1)
-    pose0_list = []
-    for _ in range(n_rep + 1):
-        p = pose0.copy()
-        p[:, :, 3] += rng.uniform(-0.01, 0.01, (b, 3)).astype(np.float32)
-        pose0_list.append(jnp.asarray(p))
-    jax.block_until_ready(run(params, pose0_list[-1]))  # compile + warmup
-    t0 = time.time()
-    outs = [run(params, p) for p in pose0_list[:n_rep]]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / n_rep
+    times = []
+    poses_seen = [np.asarray(pose)]
+    t_total0 = time.time()
+    for _ in range(n_rep):
+        t0 = time.time()
+        pose = jax.block_until_ready(run(params, obs, meshes, pose))
+        times.append(time.time() - t0)
+        poses_seen.append(np.asarray(pose))
+    t_total = time.time() - t_total0
+
+    # --- self-checks (defend against dispatch-result caching / NaN poses) ---
+    final = poses_seen[-1]
+    if not np.isfinite(final).all():
+        print(json.dumps({"error": "non-finite output pose"}))
+        raise SystemExit(1)
+    deltas = [
+        float(np.abs(poses_seen[i + 1] - poses_seen[i]).max())
+        for i in range(n_rep)
+    ]
+    if min(deltas) == 0.0:
+        print(json.dumps({"error": "chained poses identical between reps", "deltas": deltas}))
+        raise SystemExit(1)
+    med = float(np.median(times))
+    if min(times) < 0.25 * med or t_total < 0.5 * n_rep * med:
+        print(
+            json.dumps(
+                {"error": "implausible per-call timing (result caching?)", "times": times}
+            )
+        )
+        raise SystemExit(1)
+
+    dt = t_total / n_rep
     fps = b / dt
     print(
         json.dumps(
             {
                 "metric": "refinement_frames_per_s_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (480x640, 20k-face meshes, 4 refine iters, FAST_TEST, batch %d)" % b,
+                "unit": "frames/s (480x640, 20k-face meshes, 4 refine iters, FAST_TEST, batch %d%s)"
+                % (b, ", texture-sampling" if texture else ""),
                 "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 2),
             }
         )

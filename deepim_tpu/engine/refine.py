@@ -108,6 +108,79 @@ class EngineConfig:
         )
 
 
+def tune_raster_for_bank(
+    ecfg: EngineConfig, bank_arrays, k=None, max_pairs_per_sample: int = 4_000_000
+) -> EngineConfig:
+    """Size the CSR binning pair budget from the bank's actual face geometry.
+
+    The CSR path's per-face tile budget S = bin_pairs / F silently capped
+    big-triangle meshes at S=8 tiles per face; the reference GL renderer is
+    exact for any mesh (render_py_multi.py:84-99).  This computes a
+    pose-independent worst case per bank: a face whose model-space corner
+    spread is d projects (for faces that survive the znear cull and the
+    on-screen test) to a screen bbox of at most
+    d * (f + 2*image_extent) / znear pixels per axis — |u1-u2| =
+    fx*|x1/z1 - x2/z2| <= (fx*|x1-x2| + |u2 - cx|*|z1-z2|) / z1 with
+    |u2 - cx| bounded by the screen for non-culled faces — which spans at
+    most (ceil(px/tile_w)+1) * (ceil(py/tile_h)+1) tiles.  bin_pairs is set
+    to cover that exactly; if the exact budget exceeds
+    `max_pairs_per_sample` (giant-face CAD meshes at close znear) the
+    budget is clamped and a host-side warning is logged — the rasterizer
+    additionally counts and warns about actual dropped pairs at runtime.
+
+    No-op for configurations that resolve to dense binning (F <= 2048 under
+    'auto', or binning='dense'), which has no per-face budget.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    if isinstance(bank_arrays, dict):
+        verts = bank_arrays["vertices"]
+        faces = bank_arrays["faces"]
+        fvalid = bank_arrays["face_valid"]
+    else:
+        verts, _, faces, fvalid = bank_arrays[:4]
+    verts, faces, fvalid = np.asarray(verts), np.asarray(faces), np.asarray(fvalid)
+    f_padded = faces.shape[1]
+    rcfg = ecfg.raster
+    csr = rcfg.binning == "csr" or (rcfg.binning == "auto" and f_padded > 2048)
+    if not csr or rcfg.bin_pairs:
+        return ecfg  # dense path, or an explicitly sized budget
+
+    corners = np.take_along_axis(
+        verts, faces.reshape(faces.shape[0], -1)[..., None], axis=1
+    ).reshape(faces.shape[0], f_padded, 3, 3)
+    spread = (corners.max(axis=2) - corners.min(axis=2)).max(axis=-1)  # (C, F)
+    d = float(spread[fvalid].max()) if fvalid.any() else 0.0
+    if k is not None:
+        kk = np.asarray(k, np.float32).reshape(3, 3)
+        fx, fy = float(kk[0, 0]), float(kk[1, 1])
+    else:
+        fx = fy = float(max(rcfg.width, rcfg.height))
+    px = d * (fx + 2.0 * rcfg.width) / rcfg.znear
+    py = d * (fy + 2.0 * rcfg.height) / rcfg.znear
+    # The CSR path bins into its own fine tiles (csr_tile_h x csr_tile_w).
+    th, tw = rcfg.csr_tile_h, rcfg.csr_tile_w
+    n_tiles = (-(-rcfg.height // th)) * (-(-rcfg.width // tw))
+    span = (int(np.ceil(px / tw)) + 1) * (int(np.ceil(py / th)) + 1)
+    s_needed = max(1, min(span, n_tiles))
+    s = min(s_needed, max(1, max_pairs_per_sample // f_padded))
+    if s < s_needed:
+        from deepim_tpu.utils.logger import logger
+
+        logger.warning(
+            "tune_raster_for_bank: exact CSR budget needs %d tiles/face but "
+            "the %d-pair memory cap allows only %d; renders of faces wider "
+            "than the budget will drop pairs (the rasterizer warns at "
+            "runtime when that actually happens)",
+            s_needed, max_pairs_per_sample, s,
+        )
+    return dataclasses.replace(
+        ecfg, raster=dataclasses.replace(rcfg, bin_pairs=f_padded * s)
+    )
+
+
 class MeshBuffers(NamedTuple):
     """Per-sample mesh data, gathered from a MeshBank by class index."""
 

@@ -1,31 +1,53 @@
-"""Pallas TPU kernel for the rasterizer's per-tile z-buffer + shading loop.
+"""Pallas TPU kernels for the rasterizer's per-tile z-buffer + shading loop.
 
 The XLA visibility pass (rasterizer._visibility_pass) runs a lockstep
 while_loop across every (batch, active-tile) work item: each step processes
 `chunk` faces for ALL tiles, so the trip count is the MAX binned face count.
-This kernel instead runs one grid step per tile with the face loop bounded by
-THAT tile's count (scalar-prefetched), with the z-buffer and color
-accumulators resident in registers/VMEM — total work drops from
-W x max(count) to sum(count) face-tile pairs, and there is no HBM traffic
-between face chunks.
+These kernels instead bound the face loop by each tile's own count
+(scalar-prefetched), with the z-buffer and color accumulators resident in
+registers/VMEM — total work drops from W x max(count) to sum(count)
+face-tile pairs, and there is no HBM traffic between face chunks.
 
-Per tile: the pre-gathered face records (K, 32) are DMA'd to VMEM by the
-grid pipeline; a fori_loop over the tile's face count evaluates 3 edge
-functions plus the 4 screen-space attribute planes (1/z and rgb/z, computed
-in rasterizer._face_planes) over the tile's pixels and keeps the nearest
-face's shaded color.
+Both kernels accumulate shading IN q-SPACE (the winner's interpolated 1/z
+and its r*q / g*q / b*q plane values): the division by z happens once per
+output pixel after the kernel.  A deferred-shading variant (z + face id
+only, shade from a gathered record row per pixel) was measured and
+rejected: TPU row gathers cost ~12 ns/row regardless of width, so shading
+W*P pixels through a gather costs more than evaluating 3 attribute planes
+per candidate face inside the kernel.
 
-Record layout (32 lanes, float32):
-  [0:6]  u0 v0 u1 v1 u2 v2   (screen corners)
-  [6]    sign(area) * validity  (0 for padded/degenerate faces)
-  [7]    min corner 1/z  (clamp bound — interpolated 1/z inside a triangle
-         is bounded by its corners; clamping is exact and keeps float error
-         on small faces out of the z-buffer)
-  [8:11] q plane (a, b, c)
-  [11:14] r*q plane
-  [14:17] g*q plane
-  [17:20] b*q plane
-  [20]   max corner 1/z  (clamp bound)
+Face-record layout (32 lanes, float32; built by
+rasterizer.build_face_records, shared with the XLA path):
+
+  [0]  u0   [1] v0      anchor = screen corner 0.  All planes are evaluated
+                        as a*dx + b*dy + c with dx = px-u0, dy = py-v0:
+                        anchored evaluation keeps the FMA terms O(tile+bbox)
+                        instead of O(coord^2), which direct plane constants
+                        would need (catastrophic cancellation at 640px).
+  [2:5]  A0 B0 ar       edge 1->2 (opposite corner 0): e0 = A0 dx + B0 dy + ar,
+                        ar = |area| (sign-folded); ar = -1e30 for invalid
+                        faces so e0 < 0 everywhere.
+  [5:7]  A1 B1          edge 2->0: e1 = A1 dx + B1 dy  (anchor lies ON it)
+  [7:9]  A2 B2          edge 0->1: e2 = A2 dx + B2 dy
+  [9:12] Qa Qb q0       interpolated 1/z plane: qi = Qa dx + Qb dy + q0
+  [12]   qmin  [13] qmax   corner 1/z bounds — interpolated 1/z inside a
+                        triangle is bounded by its corners; clamping is
+                        exact and keeps float error on small faces out of
+                        the z-buffer
+  [14]   fid            global face index as f32 (exact: < 2^24)
+  [15]   pad
+  [16:19] / [19:22] / [22:25]  r*q / g*q / b*q attribute planes (a, b, c0)
+  [25:32] pad
+
+A pixel is inside iff min(e0, e1, e2) >= 0 (inclusive edges, no backface
+culling — GL default, render_py_multi.py:89-93).  The z-test is strict
+(qi > best): faces are processed in draw order within a tile (ascending
+face id, both in the dense tile lists and within each CSR slot), so exact
+z-ties (shared edges of adjacent coplanar faces interpolate identical 1/z)
+resolve to the earliest-drawn face, matching GL.  The CSR kernel's 8 slots
+interleave draw order, so the winning face id is carried per slot and the
+cross-slot/cross-group merges use the lexicographic (qi, -fid) comparator,
+which restores the exact draw-order tie rule.
 """
 from __future__ import annotations
 
@@ -37,34 +59,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 REC_WIDTH = 32
-
-
-def build_face_records(fu, fv, planes, valid, fq):
-    """Per-face record table (N, 32) from corner coords + attribute planes.
-
-    fu, fv, fq: (N, 3) screen corners and corner 1/z; planes: (N, 4, 3);
-    valid: (N,) bool.
-    """
-    n = fu.shape[0]
-    u0, u1, u2 = fu[:, 0], fu[:, 1], fu[:, 2]
-    v0, v1, v2 = fv[:, 0], fv[:, 1], fv[:, 2]
-    area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
-    s = jnp.where(valid & (jnp.abs(area) > 1e-12), jnp.sign(area), 0.0)
-    cols = [
-        u0, v0, u1, v1, u2, v2, s, jnp.min(fq, axis=1),
-        planes[:, 0, 0], planes[:, 0, 1], planes[:, 0, 2],
-        planes[:, 1, 0], planes[:, 1, 1], planes[:, 1, 2],
-        planes[:, 2, 0], planes[:, 2, 1], planes[:, 2, 2],
-        planes[:, 3, 0], planes[:, 3, 1], planes[:, 3, 2],
-        jnp.max(fq, axis=1),
-    ]
-    rec = jnp.stack(cols, axis=1)  # (N, 21)
-    return jnp.pad(rec, ((0, 0), (0, REC_WIDTH - rec.shape[1])))
+_NEG = -1e30
+_BIG = 1e30
 
 
 def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, lanes):
-    """One grid step = one tile.  rec_ref: (1, K, 32) VMEM; out_ref:
-    (1, 4, P) [depth, r, g, b]."""
+    """Dense path: one grid step = one tile, fori over the tile's face
+    count, one face per step over the full tile.  rec_ref: (1, K, 32) SMEM;
+    out_ref: (1, 4, P) [zq, r*q, g*q, b*q]."""
     w = pl.program_id(0)
     cnt = counts_ref[w]
     x0 = txy_ref[w, 0].astype(jnp.float32)
@@ -77,37 +79,36 @@ def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, 
     px = x0 + (lin % tile_w).astype(jnp.float32)
     py = y0 + (lin // tile_w).astype(jnp.float32)
 
-    neg = jnp.full((sub, lanes), -1e30, jnp.float32)
-    zero = jnp.zeros((sub, lanes), jnp.float32)
-
     def body(i, state):
-        zq, dep, r, g, b = state
+        zq, r, g, b = state
+
         def at(j):  # scalar read from the SMEM-resident record block
             return rec_ref[0, i, j]
 
-        u0, v0, u1, v1, u2, v2 = at(0), at(1), at(2), at(3), at(4), at(5)
-        s = at(6)
-        e0 = ((u2 - u1) * (py - v1) - (v2 - v1) * (px - u1)) * s
-        e1 = ((u0 - u2) * (py - v2) - (v0 - v2) * (px - u2)) * s
-        e2 = ((u1 - u0) * (py - v0) - (v1 - v0) * (px - u0)) * s
-        qi = jnp.clip(at(8) * px + at(9) * py + at(10), at(7), at(20))
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s != 0)
+        dx = px - at(0)
+        dy = py - at(1)
+        e0 = at(2) * dx + at(3) * dy + at(4)
+        e1 = at(5) * dx + at(6) * dy
+        e2 = at(7) * dx + at(8) * dy
+        inside = jnp.minimum(e0, jnp.minimum(e1, e2)) >= 0
+        qi = jnp.clip(at(9) * dx + at(10) * dy + at(11), at(12), at(13))
+        # Strict z-test: faces arrive in draw order, so ties keep the first.
         upd = inside & (qi > zq)
-        inv_q = 1.0 / jnp.where(jnp.abs(qi) < 1e-12, 1e-12, qi)
-        rr = (at(11) * px + at(12) * py + at(13)) * inv_q
-        gg = (at(14) * px + at(15) * py + at(16)) * inv_q
-        bb = (at(17) * px + at(18) * py + at(19)) * inv_q
+        rr = at(16) * dx + at(17) * dy + at(18)
+        gg = at(19) * dx + at(20) * dy + at(21)
+        bb = at(22) * dx + at(23) * dy + at(24)
         return (
             jnp.where(upd, qi, zq),
-            jnp.where(upd, inv_q, dep),
             jnp.where(upd, rr, r),
             jnp.where(upd, gg, g),
             jnp.where(upd, bb, b),
         )
 
-    zq, dep, r, g, b = jax.lax.fori_loop(0, cnt, body, (neg, zero, zero, zero, zero))
+    neg = jnp.full((sub, lanes), _NEG, jnp.float32)
+    zero = jnp.zeros((sub, lanes), jnp.float32)
+    zq, r, g, b = jax.lax.fori_loop(0, cnt, body, (neg, zero, zero, zero))
     p = sub * lanes
-    out_ref[0, 0, :] = dep.reshape(p)
+    out_ref[0, 0, :] = zq.reshape(p)
     out_ref[0, 1, :] = r.reshape(p)
     out_ref[0, 2, :] = g.reshape(p)
     out_ref[0, 3, :] = b.reshape(p)
@@ -115,76 +116,81 @@ def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, 
 
 def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_ref, out_ref,
                       *, tile_h, tile_w, sub, lanes, ch):
-    """One grid step = one CH-face chunk of one tile's CSR segment.
+    """CSR path: one grid step = one CH-face chunk of one tile's segment,
+    EIGHT faces per unrolled step packed across sublanes x the tile's 128
+    pixels — a (8, 128) f32 vreg does 8 face-pixel-block evaluations per
+    instruction instead of broadcasting one face over a whole 1024-px tile
+    (the scalar-loop formulation wastes >99% of its lanes on faces that
+    cover a few pixels; with 128-px fine tiles + sublane packing the same
+    vreg budget covers 8 faces).  The step loop is statically unrolled
+    (ch/8 steps) with a per-step liveness mask — no fori bookkeeping.
 
-    Per-chunk scalar-prefetch arrays (1-D int32 — 2-D SMEM operands get
-    lane-padded to 128 and blow the 1 MB SMEM budget): nh = faces in this
-    chunk, init = 1 for the first chunk of its tile, row = output row
-    (trash row for empty chunks), x0/y0 = tile pixel origin.
-    rec_ref: (CH, 32) SMEM block (chunk s of the aligned record array).
-    out_ref: (1, 5, P) accumulator rows [zq, depth, r, g, b] — consecutive
-    chunks of one tile map to the same block, so it stays VMEM-resident and
-    accumulates across the tile's chunks (flushed when the tile changes).
+    Per-chunk scalar-prefetch arrays (1-D int32): nh = faces in this chunk,
+    init = 1 for the first chunk of its tile, row = output row (trash row
+    for empty chunks), x0/y0 = tile pixel origin.
+    rec_ref: (CH, 32) VMEM block (vector slices, NOT scalar reads).
+    out_ref: (1, 40, P) accumulator — rows [0:8] per-slot zq, [8:16]
+    per-slot winning fid, [16:24]/[24:32]/[32:40] per-slot r*q/g*q/b*q.
+    Slot s holds the z-winner among faces s, s+8, s+16, ... of the tile's
+    segment; the caller merges the 8 slots (and groups) with the
+    (qi, -fid) comparator, which restores exact draw-order tie handling.
     """
     s = pl.program_id(0)
     n_here = nh_ref[s]
     x0 = x0_ref[s].astype(jnp.float32)
     y0 = y0_ref[s].astype(jnp.float32)
 
-    lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 0) * lanes
-        + jax.lax.broadcasted_iota(jnp.int32, (sub, lanes), 1)
-    )
-    px = x0 + (lin % tile_w).astype(jnp.float32)
+    assert sub == 8 and tile_h * tile_w == lanes == 128
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    px = x0 + (lin % tile_w).astype(jnp.float32)   # (1, P) broadcasts over slots
     py = y0 + (lin // tile_w).astype(jnp.float32)
-    p = sub * lanes
+    slot = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     @pl.when(init_ref[s] == 1)
     def _():
-        out_ref[0, 0, :] = jnp.full((p,), -1e30, jnp.float32)
-        out_ref[0, 1, :] = jnp.zeros((p,), jnp.float32)
-        out_ref[0, 2, :] = jnp.zeros((p,), jnp.float32)
-        out_ref[0, 3, :] = jnp.zeros((p,), jnp.float32)
+        out_ref[0, 0:8, :] = jnp.full((8, lanes), _NEG, jnp.float32)
+        out_ref[0, 8:16, :] = jnp.full((8, lanes), _BIG, jnp.float32)
+        out_ref[0, 16:40, :] = jnp.zeros((24, lanes), jnp.float32)
 
-    state0 = (
-        out_ref[0, 0, :].reshape(sub, lanes),
-        out_ref[0, 1, :].reshape(sub, lanes),
-        out_ref[0, 2, :].reshape(sub, lanes),
-        out_ref[0, 3, :].reshape(sub, lanes),
-    )
+    zq = out_ref[0, 0:8, :]
+    fb = out_ref[0, 8:16, :]
+    r = out_ref[0, 16:24, :]
+    g = out_ref[0, 24:32, :]
+    b = out_ref[0, 32:40, :]
 
-    def body(i, state):
-        # Accumulators stay in q-space (winner's interpolated 1/z and the
-        # r*q / g*q / b*q plane values): the division by z happens ONCE per
-        # output pixel after the kernel, not per candidate face.
-        zq, r, g, b = state
+    for i in range(ch // 8):
+        rec8 = rec_ref[i * 8:(i + 1) * 8, :]  # (8, 32): 8 faces, static slice
 
-        def at(j):
-            return rec_ref[i, j]
+        def at(j):  # (8, 1) per-face lane, broadcasts against (1, P) pixels
+            return rec8[:, j:j + 1]
 
-        u0, v0, u1, v1, u2, v2 = at(0), at(1), at(2), at(3), at(4), at(5)
-        sgn = at(6)
-        e0 = ((u2 - u1) * (py - v1) - (v2 - v1) * (px - u1)) * sgn
-        e1 = ((u0 - u2) * (py - v2) - (v0 - v2) * (px - u2)) * sgn
-        e2 = ((u1 - u0) * (py - v0) - (v1 - v0) * (px - u0)) * sgn
-        qi = jnp.clip(at(8) * px + at(9) * py + at(10), at(7), at(20))
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (sgn != 0)
+        live = (i * 8 + slot) < n_here  # mask the ragged last step
+        dx = px - at(0)  # (8, P)
+        dy = py - at(1)
+        e0 = at(2) * dx + at(3) * dy + at(4)
+        e1 = at(5) * dx + at(6) * dy
+        e2 = at(7) * dx + at(8) * dy
+        inside = (jnp.minimum(e0, jnp.minimum(e1, e2)) >= 0) & live
+        qi = jnp.clip(at(9) * dx + at(10) * dy + at(11), at(12), at(13))
+        # Strict z-test: within a slot faces arrive in draw order, so ties
+        # keep the first; cross-slot ties are resolved by the merge's fid
+        # comparator.
         upd = inside & (qi > zq)
-        rr = at(11) * px + at(12) * py + at(13)
-        gg = at(14) * px + at(15) * py + at(16)
-        bb = at(17) * px + at(18) * py + at(19)
-        return (
-            jnp.where(upd, qi, zq),
-            jnp.where(upd, rr, r),
-            jnp.where(upd, gg, g),
-            jnp.where(upd, bb, b),
-        )
+        f = jnp.broadcast_to(at(14), zq.shape)
+        rr = at(16) * dx + at(17) * dy + at(18)
+        gg = at(19) * dx + at(20) * dy + at(21)
+        bb = at(22) * dx + at(23) * dy + at(24)
+        zq = jnp.where(upd, qi, zq)
+        fb = jnp.where(upd, f, fb)
+        r = jnp.where(upd, rr, r)
+        g = jnp.where(upd, gg, g)
+        b = jnp.where(upd, bb, b)
 
-    zq, r, g, b = jax.lax.fori_loop(0, n_here, body, state0)
-    out_ref[0, 0, :] = zq.reshape(p)
-    out_ref[0, 1, :] = r.reshape(p)
-    out_ref[0, 2, :] = g.reshape(p)
-    out_ref[0, 3, :] = b.reshape(p)
+    out_ref[0, 0:8, :] = zq
+    out_ref[0, 8:16, :] = fb
+    out_ref[0, 16:24, :] = r
+    out_ref[0, 24:32, :] = g
+    out_ref[0, 32:40, :] = b
 
 
 def pallas_csr_group(
@@ -200,25 +206,24 @@ def pallas_csr_group(
     ch: int = 128,
     interpret: bool = False,
 ):
-    """One group of the CSR visibility+shading grid: a 1-D grid over S_G
-    face chunks, accumulating z/q-space color into (w_items + 1, 4, P)
-    output rows [zq, r*q, g*q, b*q] (row w_items = trash for empty chunks).
+    """One group of the CSR z-buffer grid: a 1-D grid over S_G face chunks,
+    accumulating per-slot (zq, fid, rgb*q) into (w_items + 1, 40, P) output
+    rows (row w_items = trash for empty chunks).
 
     The caller (rasterizer.rasterize) assembles the per-group record block,
-    loops groups under lax.cond (groups past the real chunk count are
+    scans groups under lax.cond (groups past the real chunk count are
     skipped at RUNTIME — the static grid covers the worst-case pair budget,
-    the executed work scales with the actual overlaps), and z-merges group
-    outputs.  The SMEM window is (CH, 32) = 16 KB regardless of how full
-    the densest tile is.
+    the executed work scales with the actual overlaps), merges the 8 slots,
+    and z-merges group outputs with the same (qi, -fid) comparator.
     """
     s_g = nh_g.shape[0]
     assert rec_group.shape[0] == s_g * ch, (rec_group.shape, s_g, ch)
+    assert ch % 8 == 0, ch
     p = tile_h * tile_w
-    assert p % 128 == 0
-    sub = p // 128
+    assert p == 128, "csr tile must be exactly one 128-lane pixel block"
 
     # Block index per chunk: identity for real chunks; junk-suffix chunks
-    # repeat the previous block so the pipeline skips their SMEM DMAs.
+    # repeat the previous block so the pipeline skips their DMAs.
     ids = jnp.arange(s_g, dtype=jnp.int32)
     last_real = jnp.maximum(jnp.max(jnp.where(nh_g > 0, ids, 0)), 0)
     blk_g = jnp.where(nh_g > 0, ids, last_real)
@@ -229,22 +234,45 @@ def pallas_csr_group(
             pl.BlockSpec(
                 (ch, REC_WIDTH),
                 lambda s, nh, ini, row, x0, y0, blk: (blk[s], 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, p),
+            (1, 40, p),
             lambda s, nh, ini, row, x0, y0, blk, w=w_items: (jnp.minimum(row[s], w), 0, 0),
         ),
     )
     return pl.pallas_call(
         functools.partial(
-            _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, lanes=128, ch=ch
+            _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=8, lanes=p, ch=ch
         ),
-        out_shape=jax.ShapeDtypeStruct((w_items + 1, 4, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((w_items + 1, 40, p), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(nh_g, init_g, row_g, x0_g, y0_g, blk_g, rec_group)[:w_items]
+
+
+def merge_slots(out: jax.Array):
+    """(W, 40, P) per-slot kernel output -> (best_q, best_f, rq, gq, bq),
+    each (W, P), by the (qi, -fid) comparator.
+
+    The comparator (max qi, then min fid) is associative, so the 8 slots
+    reduce in a binary tree: 3 vectorized passes over halved slot axes
+    instead of 7 sequential compare-selects."""
+    q = out[:, 0:8, :]
+    f = out[:, 8:16, :]
+    rgb = [out[:, 16 + 8 * c:24 + 8 * c, :] for c in range(3)]
+    n = 8
+    while n > 1:
+        h = n // 2
+        qa, qb = q[:, :h, :], q[:, h:n, :]
+        fa, fb_ = f[:, :h, :], f[:, h:n, :]
+        upd = (qb > qa) | ((qb == qa) & (fb_ < fa))
+        q = jnp.where(upd, qb, qa)
+        f = jnp.where(upd, fb_, fa)
+        rgb = [jnp.where(upd, c[:, h:n, :], c[:, :h, :]) for c in rgb]
+        n = h
+    return q[:, 0, :], f[:, 0, :], rgb[0][:, 0, :], rgb[1][:, 0, :], rgb[2][:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
@@ -256,7 +284,7 @@ def pallas_visibility_shade(
     tile_w: int,
     interpret: bool = False,
 ):
-    """Returns (depth (W, P), rgb (W, P, 3))."""
+    """Dense path: returns (best_q (W, P), rgbq (W, P, 3) q-space colors)."""
     w_items, k_cap, _ = records.shape
     p = tile_h * tile_w
     assert p % 128 == 0, "tile pixel count must be lane aligned"
@@ -301,6 +329,6 @@ def pallas_visibility_shade(
             )(counts[start:end], tile_xy[start:end], records[start:end])[:n]
         )
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    depth = out[:, 0, :]
-    rgb = jnp.moveaxis(out[:, 1:4, :], 1, 2)  # (W, P, 3)
-    return depth, rgb
+    best_q = out[:, 0, :]
+    rgbq = jnp.moveaxis(out[:, 1:4, :], 1, 2)  # (W, P, 3)
+    return best_q, rgbq

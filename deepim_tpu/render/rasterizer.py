@@ -1,4 +1,4 @@
-"""Batched tile-based triangle rasterizer in pure JAX/XLA.
+"""Batched tile-based triangle rasterizer in pure JAX/XLA + Pallas.
 
 TPU-native replacement for the reference's glumpy/GLFW/OpenGL renderer
 (lib/render_glumpy/render_py_multi.py) so rendering runs *inside* the jitted
@@ -7,19 +7,25 @@ refinement step instead of a host round-trip per sample per iteration
 
 Pipeline (all static shapes, fully batched):
   1. vertex transform + projection (batched matmuls)
-  2. tile binning: per-face screen bbox -> per-tile face lists with a static
-     cap, built with a cumsum-rank + scatter compaction (no host sync)
-  3. active-tile compaction: per sample, only the top `active_tiles` tiles by
-     face count are rasterized (object-centric frames are mostly empty) and
-     the (batch, tile) pairs of ALL samples are flattened into ONE work list
-     so the z-buffer loop below is a single while_loop over face chunks, not
-     a vmapped loop per sample
-  4. visibility pass: while_loop over face chunks (trip count = max binned
-     count, not the static cap) computing edge functions and
-     perspective-correct 1/z; keeps the nearest face id per pixel
-     (a "visibility buffer")
-  5. deferred shading: one barycentric + perspective-correct color
-     interpolation per *pixel* (not per face-pixel pair)
+  2. face-record build: anchored screen-space planes for the 3 edge
+     functions, interpolated 1/z, and the attribute planes (one shared
+     (B*F, 32) table consumed by every path — see pallas_raster.py for the
+     exact lane layout)
+  3. tile binning: per-face screen bbox -> per-tile face lists (dense: a
+     sorted (T, K) overlap matrix; csr: exact per-tile segments of a sorted
+     (tile, face) pair list)
+  4. active-tile compaction: per sample, only the top `active_tiles` tiles
+     by face count are rasterized (object-centric frames are mostly empty)
+     and the (batch, tile) pairs of ALL samples are flattened into ONE work
+     list
+  5. visibility: a z-buffer over each tile's face list keeping the nearest
+     face's interpolated 1/z and its face id (a "visibility buffer") —
+     XLA while_loop on CPU, Pallas kernels on TPU (the CSR kernel packs 8
+     faces across sublanes over 128-px fine tiles, so vreg lanes are spent
+     near the faces instead of broadcasting one small face over a 1024-px
+     tile)
+  6. deferred shading: one anchored-plane evaluation per *output pixel*
+     (not per face-pixel pair) from the shared record table
 
 Camera convention: derived from the reference's calibrated GL projection
 (render_py_multi.py:134-160 + flipud in :120-121): pixel (i, j) of the output
@@ -29,7 +35,8 @@ unprojection in render_py_multi.py:127-128 recovers the same quantity).
 Faces with any vertex outside (znear, zfar) are culled (the reference relies
 on GL clip planes with znear=0.25, zfar=6.0; objects never straddle them).
 No backface culling (GL default; render_py_multi.py:89-93 enables only the
-depth test).  The depth test resolves to the nearest fragment (GL_LESS).
+depth test).  The depth test resolves to the nearest fragment (GL_LESS),
+with exact z-ties (shared edges) resolved to the earliest-drawn face.
 """
 from __future__ import annotations
 
@@ -40,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 _NEG = -1e30
+_BIG = 1e30
 
 
 @dataclass(frozen=True)
@@ -57,17 +65,35 @@ class RasterConfig:
     zfar: float = 6.0
     # Tiles rasterized per sample (top-k by binned face count); 0 = all tiles
     # (exact for any scene; the default covers objects up to ~128 tiles).
+    # Counted in (tile_h x tile_w) tiles; the csr path converts the budget
+    # to an equal PIXEL area of its finer tiles.
     active_tiles: int = 128
     # Binning materializes a (tiles, faces) overlap mask per sample; for very
     # large meshes process the batch in chunks of this size (0 = whole batch).
     bin_batch_chunk: int = 0
+    # Backface culling: 0 = off (GL default, render_py_multi.py:89-93 —
+    # correct for ANY mesh), +1 / -1 = cull faces whose signed screen area
+    # has the other sign.  For CLOSED consistently-wound meshes (LINEMOD
+    # scans, icospheres) the output is IDENTICAL — every backface loses the
+    # z-test to a front face, and on silhouette shared edges both faces
+    # interpolate the same corner attributes — while the binning sort, the
+    # record gathers and the z-kernel all do half the work.  The sign is
+    # mesh-convention-dependent (tests/test_csr_raster.py checks ours);
+    # leave 0 for open or inconsistently wound meshes.
+    backface_cull: int = 0
+    # Process the batch through the whole raster pipeline in chunks of this
+    # size (0 = whole batch).  The per-row cost of TPU gathers grows with
+    # the gathered table's size, and the active-tile top_k's cost grows
+    # superlinearly in k = B * active, so one giant batch renders SLOWER
+    # per sample than a few sequential sub-batches at LINEMOD scale.
+    raster_batch_chunk: int = 0
     # Soft budget (bytes) for the visibility pass's (work-items, chunk,
     # pixels) temporaries; the face-chunk width shrinks automatically for
     # large batch x active_tiles products.
     vis_mem_budget: int = 2 << 30
-    # Use the Pallas per-tile kernel (render/pallas_raster.py) for the
-    # visibility + shading loop: per-tile face-count loop bounds instead of
-    # the lockstep max-count while_loop.  Requires tile_h*tile_w % 128 == 0.
+    # Use the Pallas per-tile kernels (render/pallas_raster.py) for the
+    # visibility loop: per-tile face-count loop bounds instead of the
+    # lockstep max-count while_loop.  Requires tile_h*tile_w % 128 == 0.
     use_pallas: bool = False
     # Binning layout for the Pallas path.  'dense' pre-gathers a padded
     # (work_items, K, 32) record table — fine for small meshes, quadratic
@@ -77,20 +103,25 @@ class RasterConfig:
     # face-tile overlaps; 'auto' switches to csr when F > 2048.
     binning: str = "auto"
     # Static budget of (tile, face) overlap pairs per sample for csr binning,
-    # interpreted per face: each face may overlap up to bin_pairs / F tiles
-    # (0 = 8 per face, covering bboxes up to ~2 tile columns x 4 tile rows —
-    # ample for dense small-face meshes, the regime csr exists for).  A face
-    # whose bbox spans more tiles loses its farthest tiles; set
-    # bin_pairs = F * num_tiles for exact binning of any mesh, or use the
-    # dense path for giant-face meshes.
+    # interpreted per face: each face may overlap up to bin_pairs / F of the
+    # fine csr tiles (0 = 8 per face).  A face whose bbox spans more tiles
+    # keeps only the first 8 of its bbox in row-major order; rasterize
+    # counts the dropped pairs and warns (engine.refine.tune_raster_for_bank
+    # sizes the budget so production meshes never truncate).
     bin_pairs: int = 0
-    # csr chunk length (faces per kernel grid step / SMEM block rows).
+    # csr fine-tile shape; the product must be exactly 128 (one lane block).
+    csr_tile_h: int = 8
+    csr_tile_w: int = 16
+    # csr chunk length (faces per kernel grid step); multiple of 8.
     csr_chunk: int = 128
     # Chunks per pallas_call in the csr path.  The grid's static size covers
     # the worst-case pair budget; groups past the frame's ACTUAL chunk count
-    # are skipped at runtime (lax.cond), so only ~1 group typically runs.
-    # Bounded by the scalar-prefetch SMEM budget (6 int32 arrays x group).
-    csr_group: int = 8192
+    # are skipped at runtime (lax.cond), so only the groups with real work
+    # run.  Smaller groups waste fewer record-gather rows on the final
+    # partially-full group (the per-row gather overhead, ~12 ns on v5e, is
+    # the csr path's main XLA-side cost); larger groups amortize pallas_call
+    # launches.  Bounded by the scalar-prefetch SMEM budget.
+    csr_group: int = 2048
 
     @property
     def tiles_y(self) -> int:
@@ -120,7 +151,21 @@ def project_vertices(vertices: jax.Array, pose: jax.Array, k: jax.Array):
     return u, v, z
 
 
-def bin_faces(fu, fv, valid, cfg: RasterConfig):
+def _bbox_tiles(fu, fv, valid, th, tw, t_y, t_x, height, width):
+    """Per-face screen bbox -> clamped tile bounds + on-screen validity."""
+    umin = jnp.min(fu, axis=1)
+    umax = jnp.max(fu, axis=1)
+    vmin = jnp.min(fv, axis=1)
+    vmax = jnp.max(fv, axis=1)
+    bx0 = jnp.clip(jnp.floor(umin / tw), 0, t_x - 1).astype(jnp.int32)
+    bx1 = jnp.clip(jnp.floor(umax / tw), 0, t_x - 1).astype(jnp.int32)
+    by0 = jnp.clip(jnp.floor(vmin / th), 0, t_y - 1).astype(jnp.int32)
+    by1 = jnp.clip(jnp.floor(vmax / th), 0, t_y - 1).astype(jnp.int32)
+    offscreen = (umax < 0) | (umin > width - 1) | (vmax < 0) | (vmin > height - 1)
+    return bx0, bx1, by0, by1, valid & ~offscreen
+
+
+def bin_faces(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
     """Assign faces to the tiles their screen bbox overlaps (one sample).
 
     fu, fv: (F, 3); valid: (F,).  Returns (tile_faces (T, K) int32 face ids,
@@ -132,21 +177,16 @@ def bin_faces(fu, fv, valid, cfg: RasterConfig):
     ascending this puts overlapping face ids first, in face order (the same
     slot order the draw-call face order gives GL).
     """
-    t_y, t_x, k_cap = cfg.tiles_y, cfg.tiles_x, cfg.max_faces_per_tile
+    th = cfg.tile_h if th is None else th
+    tw = cfg.tile_w if tw is None else tw
+    t_y, t_x = -(-cfg.height // th), -(-cfg.width // tw)
+    k_cap = cfg.max_faces_per_tile
     n_tiles = t_y * t_x
     f = fu.shape[0]
 
-    umin = jnp.min(fu, axis=1)
-    umax = jnp.max(fu, axis=1)
-    vmin = jnp.min(fv, axis=1)
-    vmax = jnp.max(fv, axis=1)
-
-    bx0 = jnp.clip(jnp.floor(umin / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
-    bx1 = jnp.clip(jnp.floor(umax / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
-    by0 = jnp.clip(jnp.floor(vmin / cfg.tile_h), 0, t_y - 1).astype(jnp.int32)
-    by1 = jnp.clip(jnp.floor(vmax / cfg.tile_h), 0, t_y - 1).astype(jnp.int32)
-    offscreen = (umax < 0) | (umin > cfg.width - 1) | (vmax < 0) | (vmin > cfg.height - 1)
-    ok = valid & ~offscreen
+    bx0, bx1, by0, by1, ok = _bbox_tiles(
+        fu, fv, valid, th, tw, t_y, t_x, cfg.height, cfg.width
+    )
 
     ty = jax.lax.broadcasted_iota(jnp.int32, (t_y, t_x), 0).reshape(n_tiles, 1)
     tx = jax.lax.broadcasted_iota(jnp.int32, (t_y, t_x), 1).reshape(n_tiles, 1)
@@ -174,10 +214,11 @@ _SCAN_CHUNK = 512
 def _cumsum_mm(x: jax.Array) -> jax.Array:
     """Inclusive prefix sum along the last axis via MXU matmuls.
 
-    XLA lowers jnp.cumsum on TPU to a log-pass reduce-window that measures
-    ~3 ns/element (70 ms for the binning pass's 21M elements); a blocked
-    scan — in-chunk prefix as a lower-triangular (C, C) matmul + a short
-    cross-chunk carry — moves the same work to the MXU at <1 ms.  Values
+    XLA lowers jnp.cumsum on TPU to a log-pass reduce-window measuring
+    ~3 ns/element; a blocked scan — in-chunk prefix as a lower-triangular
+    (C, C) matmul + a short cross-chunk carry — moves the work to the MXU.
+    Used by _run_length_decode for the CSR chunk -> work-item decode
+    ((s_total,)-sized at LINEMOD scale).  Values
     are summed in fp32: exact for the integer inputs used here (all counts
     and indices are < 2^24).
     """
@@ -206,7 +247,7 @@ def _run_length_decode(boundaries: jax.Array, n: int) -> jax.Array:
     return _cumsum_mm(markers)
 
 
-def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
+def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
     """Sparse binning for one sample: (tile, face) overlap pairs.
 
     Instead of the (T, F) overlap matrix + per-row sort (O(T*F log^2 F) —
@@ -219,28 +260,28 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
     ascending face ids (GL draw order preserved for z-ties), and read
     per-tile offsets/counts off the sorted keys via searchsorted.
 
-    Returns (sorted_face (N,) int32 [F = invalid], offsets (T,), counts (T,)).
-    Faces whose bbox spans more than S tiles lose their farthest tiles
-    (bbox row-major); the default S=8 covers every face whose bbox spans at
-    most 2 tile columns x 4 tile rows (~250 x 30 px at the default tile
-    size) — set bin_pairs = F * num_tiles for exact binning of any mesh.
+    Returns (sorted_face (N,) int32 [F = invalid], offsets (T,), counts (T,),
+    dropped ()): `dropped` counts the face-tile pairs that did NOT fit the
+    per-face budget this call — a face whose bbox spans more than S tiles
+    keeps only the first S tiles of its bbox in row-major order and loses
+    the rest.  The default S=8 covers every face whose bbox spans at most
+    4 tile columns x 2 tile rows of the fine (8, 16) csr tiles (~60 x 12 px);
+    `rasterize` warns at runtime when dropped > 0, and
+    `tune_raster_for_bank` (engine/refine.py) sizes bin_pairs from the
+    bank's actual face geometry so production meshes never truncate.  Set
+    bin_pairs = F * num_tiles for exact binning of any mesh at any pose.
     """
-    t_y, t_x = cfg.tiles_y, cfg.tiles_x
+    th = cfg.tile_h if th is None else th
+    tw = cfg.tile_w if tw is None else tw
+    t_y, t_x = -(-cfg.height // th), -(-cfg.width // tw)
     n_tiles = t_y * t_x
     f = fu.shape[0]
     s = min(max(cfg.bin_pairs // f, 1), n_tiles) if cfg.bin_pairs else min(8, n_tiles)
     n = f * s
 
-    umin = jnp.min(fu, axis=1)
-    umax = jnp.max(fu, axis=1)
-    vmin = jnp.min(fv, axis=1)
-    vmax = jnp.max(fv, axis=1)
-    bx0 = jnp.clip(jnp.floor(umin / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
-    bx1 = jnp.clip(jnp.floor(umax / cfg.tile_w), 0, t_x - 1).astype(jnp.int32)
-    by0 = jnp.clip(jnp.floor(vmin / cfg.tile_h), 0, t_y - 1).astype(jnp.int32)
-    by1 = jnp.clip(jnp.floor(vmax / cfg.tile_h), 0, t_y - 1).astype(jnp.int32)
-    offscreen = (umax < 0) | (umin > cfg.width - 1) | (vmax < 0) | (vmin > cfg.height - 1)
-    ok = valid & ~offscreen
+    bx0, bx1, by0, by1, ok = _bbox_tiles(
+        fu, fv, valid, th, tw, t_y, t_x, cfg.height, cfg.width
+    )
 
     wbb = jnp.maximum(bx1 - bx0 + 1, 1)
     span = wbb * (by1 - by0 + 1)
@@ -256,20 +297,60 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig):
     # cheaper than jnp.sort's stable default.
     key = jnp.where(pair_ok, tile * f + fidx, n_tiles * f).reshape(n)
     (key,) = jax.lax.sort((key,), is_stable=False)
-    sorted_tile = key // f
     sorted_face = jnp.where(key < n_tiles * f, key % f, f)
-    offsets = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="right").astype(jnp.int32)
+    # Per-tile counts via a two-level int8 one-hot matmul histogram
+    # (tile = hi*64 + lo -> counts2d[hi, lo] = onehot_hi^T @ onehot_lo on
+    # the MXU, i32 accumulation = exact).  A searchsorted over the sorted
+    # keys computes the same offsets but costs ~7 ns per binary-search
+    # gather step (2 sides x T queries x log2(N) steps — measured ~0.6 ms
+    # per sample at LINEMOD scale on v5e, linear in batch); the histogram
+    # is one small matmul + a T-length cumsum.  Invalid pairs are masked
+    # out of the histogram and sort past every valid key, so the exclusive
+    # cumsum of counts equals searchsorted(sorted_tile, arange(T), 'left').
+    hi_n = -(-n_tiles // 64)
+    tile_flat = tile.reshape(n)
+    ok_flat = pair_ok.reshape(n)
+    oh_hi = ((tile_flat[:, None] // 64 == jnp.arange(hi_n, dtype=jnp.int32)[None, :])
+             & ok_flat[:, None]).astype(jnp.int8)
+    oh_lo = (tile_flat[:, None] % 64 == jnp.arange(64, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+    counts2d = jax.lax.dot_general(
+        oh_hi, oh_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (hi_n, 64)
     # No K clip: CSR segments are exact-packed, so the per-tile face budget
     # is the pair budget itself (the dense path's K cap would silently drop
     # faces on dense meshes — at LINEMOD density most covered tiles overflow
     # a 1k cap).
-    counts = ends - offsets
-    return sorted_face.astype(jnp.int32), offsets, counts
+    counts = counts2d.reshape(hi_n * 64)[:n_tiles]
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    dropped = jnp.sum(jnp.where(ok, jnp.maximum(span - s, 0), 0))
+    return sorted_face.astype(jnp.int32), offsets, counts, dropped
+
+
+def csr_dropped_pairs(vertices, faces, face_valid, poses, k, cfg: RasterConfig):
+    """Count the face-tile overlap pairs the CSR per-face budget would drop
+    for this batch at these poses (0 = the render is exact).
+
+    The host-side query path for backends without debug-callback support
+    (the axon-tunneled TPU), where `rasterize` cannot emit its in-jit
+    truncation warning.  vertices: (B, V, 3); faces: (B, F, 3);
+    face_valid: (B, F); poses: (B, 3, 4); k: (3, 3) or (B, 3, 3)."""
+    b, nv, _ = vertices.shape
+    nf = faces.shape[1]
+    kb = jnp.broadcast_to(k, (b, 3, 3)) if k.ndim == 2 else k
+    u, v, z = project_vertices(vertices, poses, kb)
+    fu = jnp.take_along_axis(u[:, :, None], faces, axis=1)
+    fv = jnp.take_along_axis(v[:, :, None], faces, axis=1)
+    fz = jnp.take_along_axis(z[:, :, None], faces, axis=1)
+    in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=2)
+    valid = face_valid & in_range
+    _, _, _, dropped = jax.vmap(
+        partial(bin_faces_csr, cfg=cfg, th=cfg.csr_tile_h, tw=cfg.csr_tile_w)
+    )(fu, fv, valid)
+    return jnp.sum(dropped)
 
 
 def _bin_batch(fu, fv, valid, cfg: RasterConfig):
-    """Batched binning: (B, F, 3) -> tile_faces (B, T, K), counts (B, T)."""
+    """Batched dense binning: (B, F, 3) -> tile_faces (B, T, K), counts (B, T)."""
     vbin = jax.vmap(partial(bin_faces, cfg=cfg))
     if cfg.bin_batch_chunk and fu.shape[0] > cfg.bin_batch_chunk:
         b = fu.shape[0]
@@ -283,19 +364,67 @@ def _bin_batch(fu, fv, valid, cfg: RasterConfig):
     return vbin(fu, fv, valid)
 
 
-def _edge(ax, ay, bx, by, px, py):
-    """Signed area of (a, b, p): >0 when p is left of a->b."""
-    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+def build_face_records(fu, fv, fq, fcol, valid):
+    """Shared per-face record table (N, 32) of anchored screen-space planes.
+
+    fu, fv, fq: (N, 3) screen corners and corner 1/z; fcol: (N, 3, 3)
+    corner attributes (colors or texcoords); valid: (N,) bool.
+
+    Every per-pixel quantity the rasterizer needs — the 3 edge functions,
+    interpolated 1/z, and each attribute*q — is affine in screen space, so
+    visibility + shading reduce to 2 FMAs per quantity.  All planes are
+    ANCHORED at corner 0 (evaluated as a*dx + b*dy + c with dx = px - u0):
+    with the anchor inside the face's bbox the FMA terms stay O(tile + bbox)
+    instead of the O(640^2) a raw `c` constant would carry, which costs
+    ~0.02 px of edge-position noise in f32.  Anchoring also makes two edge
+    constants exactly zero (edges 2->0 and 0->1 pass through corner 0) and
+    the remaining one |area| (e0 at corner 0 = signed area, sign-folded).
+
+    Lane layout documented in pallas_raster.py.  The same table serves the
+    XLA visibility pass, both Pallas kernels, and the deferred shading pass
+    — identical formulas everywhere keep the paths bit-comparable.
+    """
+    n = fu.shape[0]
+    u0, u1, u2 = fu[:, 0], fu[:, 1], fu[:, 2]
+    v0, v1, v2 = fv[:, 0], fv[:, 1], fv[:, 2]
+    area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
+    ok = valid & (jnp.abs(area) > 1e-12)
+    s = jnp.where(ok, jnp.sign(area), 0.0)
+    ar = jnp.where(ok, jnp.abs(area), _NEG)
+    inv = 1.0 / jnp.where(ok, area, 1.0)
+
+    def attr_plane(val):  # (N, 3) corner values -> anchored (a, b, c0)
+        d1 = val[:, 1] - val[:, 0]
+        d2 = val[:, 2] - val[:, 0]
+        a = (d1 * (v2 - v0) - d2 * (v1 - v0)) * inv
+        b = (d2 * (u1 - u0) - d1 * (u2 - u0)) * inv
+        return a, b, val[:, 0]
+
+    qa, qb, q0 = attr_plane(fq)
+    cols = [
+        u0, v0,
+        -(v2 - v1) * s, (u2 - u1) * s, ar,      # e0 (opposite corner 0)
+        -(v0 - v2) * s, (u0 - u2) * s,           # e1 (through corner 0)
+        -(v1 - v0) * s, (u1 - u0) * s,           # e2 (through corner 0)
+        qa, qb, q0,
+        jnp.min(fq, axis=1), jnp.max(fq, axis=1),
+        jnp.arange(n, dtype=jnp.float32),        # fid (global face index)
+        jnp.zeros_like(u0),
+    ]
+    for ch in range(3):
+        a, b, c0 = attr_plane(fcol[:, :, ch] * fq)
+        cols += [a, b, c0]
+    rec = jnp.stack(cols, axis=1)  # (N, 25)
+    return jnp.pad(rec, ((0, 0), (0, 32 - rec.shape[1])))
 
 
-def _visibility_pass(fu_flat, fv_flat, fq_flat, tile_faces_g, counts, tile_py, tile_px, cfg):
+def _visibility_pass(records, tile_faces_g, counts, tile_py, tile_px, cfg):
     """Single while_loop z-buffer over the flattened (batch x active-tile)
-    work list.
+    work list (the pure-XLA path: CPU tests and non-Pallas fallback).
 
-    fu_flat/fv_flat/fq_flat: (B*F, 3) with invalid faces pre-poisoned;
-    tile_faces_g: (W, K) GLOBAL face ids (-1 padded); counts: (W,);
-    tile_py/tile_px: (W, P) pixel coords.  Returns (best_f (W, P) global ids,
-    best_q (W, P)).
+    records: (B*F + pad, 32); tile_faces_g: (W, K) GLOBAL face ids (-1
+    padded); counts: (W,); tile_py/tile_px: (W, P) pixel coords.  Returns
+    (best_f (W, P) int32 global ids [-1 = miss], best_q (W, P)).
     """
     w_items, k_cap = tile_faces_g.shape
     p = tile_py.shape[1]
@@ -308,40 +437,28 @@ def _visibility_pass(fu_flat, fv_flat, fq_flat, tile_faces_g, counts, tile_py, t
         face_idx = jax.lax.dynamic_slice(tile_faces_g, (0, step * chunk), (w_items, chunk))
         fid = jnp.maximum(face_idx, 0)
         live = face_idx >= 0
-        u = fu_flat[fid]  # (W, C, 3)
-        v = fv_flat[fid]
-        q = fq_flat[fid]
-        u0, u1, u2 = u[..., 0], u[..., 1], u[..., 2]
-        v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
-        area = _edge(u0, v0, u1, v1, u2, v2)  # (W, C)
+        rec = records[fid]  # (W, C, 32)
         pxb, pyb = tile_px[:, None, :], tile_py[:, None, :]
-        w0 = _edge(u1[..., None], v1[..., None], u2[..., None], v2[..., None], pxb, pyb)
-        w1 = _edge(u2[..., None], v2[..., None], u0[..., None], v0[..., None], pxb, pyb)
-        w2 = _edge(u0[..., None], v0[..., None], u1[..., None], v1[..., None], pxb, pyb)
-        s = jnp.sign(area)[..., None]
-        inside = (
-            (w0 * s >= 0) & (w1 * s >= 0) & (w2 * s >= 0)
-            & (jnp.abs(area)[..., None] > 1e-12)
-            & live[..., None]
+        dx = pxb - rec[..., 0:1]  # (W, C, P)
+        dy = pyb - rec[..., 1:2]
+        e0 = rec[..., 2:3] * dx + rec[..., 3:4] * dy + rec[..., 4:5]
+        e1 = rec[..., 5:6] * dx + rec[..., 6:7] * dy
+        e2 = rec[..., 7:8] * dx + rec[..., 8:9] * dy
+        inside = (jnp.minimum(e0, jnp.minimum(e1, e2)) >= 0) & live[..., None]
+        qi = jnp.clip(
+            rec[..., 9:10] * dx + rec[..., 10:11] * dy + rec[..., 11:12],
+            rec[..., 12:13], rec[..., 13:14],
         )
-        inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)[..., None]
-        qi = (
-            w0 * q[..., 0:1] + w1 * q[..., 1:2] + w2 * q[..., 2:3]
-        ) * inv_area  # (W, C, P) interpolated 1/z
-        # Inside a triangle the interpolated 1/z is bounded by its corner
-        # values; clamping is exact for inside pixels and stops float error
-        # on small-area faces from poisoning the z-buffer.
-        qi = jnp.clip(qi, jnp.min(q, axis=-1, keepdims=True), jnp.max(q, axis=-1, keepdims=True))
         qi = jnp.where(inside, qi, _NEG)
         q_c = jnp.max(qi, axis=1)  # (W, P)
-        a_c = jnp.argmax(qi, axis=1)
+        a_c = jnp.argmax(qi, axis=1)  # first max = lowest face id (draw order)
         f_c = jnp.take_along_axis(fid, a_c, axis=1)
         upd = q_c > best_q
         return step + 1, jnp.where(upd, q_c, best_q), jnp.where(upd, f_c, best_f)
 
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.full((w_items, p), _NEG, fu_flat.dtype),
+        jnp.full((w_items, p), _NEG, jnp.float32),
         jnp.full((w_items, p), -1, jnp.int32),
     )
     _, best_q, best_f = jax.lax.while_loop(
@@ -350,49 +467,24 @@ def _visibility_pass(fu_flat, fv_flat, fq_flat, tile_faces_g, counts, tile_py, t
     return best_f, best_q
 
 
-def _face_planes(fu, fv, fq, fcol):
-    """Screen-space plane coefficients per face.
+def _shade_from_records(best_f, best_q, records, px, py):
+    """Deferred shading: one anchored-plane evaluation per output pixel.
 
-    Every perspective-correct attribute (1/z and each color channel / z) is
-    affine in screen space; precomputing (a, b, c) with
-    attr(x, y) = a x + b y + c turns per-pixel shading into 2 FMAs per
-    attribute (no barycentrics, no corner gathers at pixel rate).
-
-    fu/fv/fq: (N, 3); fcol: (N, 3, 3) -> (N, 4, 3): planes for
-    [q, r*q, g*q, b*q].
-    """
-    u0, u1, u2 = fu[:, 0], fu[:, 1], fu[:, 2]
-    v0, v1, v2 = fv[:, 0], fv[:, 1], fv[:, 2]
-    area = _edge(u0, v0, u1, v1, u2, v2)
-    inv = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
-
-    def plane(val):  # (N, 3) corner values -> (N, 3) coeffs
-        d1 = val[:, 1] - val[:, 0]
-        d2 = val[:, 2] - val[:, 0]
-        a = (d1 * (v2 - v0) - d2 * (v1 - v0)) * inv
-        b = (d2 * (u1 - u0) - d1 * (u2 - u0)) * inv
-        c = val[:, 0] - a * u0 - b * v0
-        return jnp.stack([a, b, c], axis=-1)
-
-    planes = [plane(fq)]
-    for ch in range(3):
-        planes.append(plane(fcol[:, :, ch] * fq))
-    return jnp.stack(planes, axis=1)  # (N, 4, 3)
-
-
-def _shade_tiles(best_f, planes_flat, px, py):
-    """Shade the compacted tile pixels from the visibility buffer.
-
-    best_f: (W, P) global face ids; planes_flat: (N, 4, 3); px/py: (W, P).
+    best_f: (W, P) int32 global face ids (-1 = miss); best_q: (W, P) the
+    winner's clamped interpolated 1/z; records: (N, 32); px/py: (W, P).
     Returns rgb (W, P, 3), depth (W, P)."""
     fid = jnp.maximum(best_f, 0)
     hit = best_f >= 0
-    pc = planes_flat[fid]  # (W, P, 4, 3)
-    vals = pc[..., 0] * px[..., None] + pc[..., 1] * py[..., None] + pc[..., 2]  # (W, P, 4)
-    qp = vals[..., 0]
-    qp = jnp.where(jnp.abs(qp) < 1e-12, 1e-12, qp)
+    rec = records[fid]  # (W, P, 32)
+    dx = px - rec[..., 0]
+    dy = py - rec[..., 1]
+    qp = jnp.where(hit, best_q, 1.0)
     depth = jnp.where(hit, 1.0 / qp, 0.0)
-    rgb = jnp.where(hit[..., None], vals[..., 1:4] / qp[..., None], 0.0)
+    chans = [
+        (rec[..., 16 + 3 * c] * dx + rec[..., 17 + 3 * c] * dy + rec[..., 18 + 3 * c]) / qp
+        for c in range(3)
+    ]
+    rgb = jnp.where(hit[..., None], jnp.stack(chans, axis=-1), 0.0)
     return rgb, depth
 
 
@@ -422,28 +514,48 @@ def rasterize(
     is pose-independent, so callers that render the same mesh repeatedly
     (the 4-iteration refinement scan) expand ONCE per batch
     (MeshBuffers.gather) and pay only the 3x-redundant projection matmul,
-    which is MXU-trivial; the gather of projected attributes costs ~45 ms at
-    LINEMOD scale per render.  Results are bit-identical either way.
+    which is MXU-trivial.  Results are bit-identical either way.
     """
-    b, nv, _ = vertices.shape
-    nf = faces.shape[1]
-    t = cfg.num_tiles
-    p = cfg.tile_h * cfg.tile_w
+    b = vertices.shape[0]
     kb = jnp.broadcast_to(k, (b, 3, 3)) if k.ndim == 2 else k
-    use_csr = cfg.use_pallas and (
-        cfg.binning == "csr" or (cfg.binning == "auto" and nf > 2048)
-    )
-
     if corners is None or corner_colors is None:
-        # One row-gather of packed per-vertex rows instead of per-corner
-        # scalar gathers: TPU gathers amortize per-index cost over the row
-        # width.
         vattr = jnp.concatenate([vertices, colors], axis=-1)  # (B, V, 6)
+        nf = faces.shape[1]
         fattr = jnp.take_along_axis(
             vattr, faces.reshape(b, nf * 3)[..., None], axis=1
         ).reshape(b, nf, 3, 6)
         corners = fattr[..., 0:3]
         corner_colors = fattr[..., 3:6]
+    c = cfg.raster_batch_chunk
+    if c and b > c and b % c == 0:
+        rgb, depth = jax.lax.map(
+            lambda args: _rasterize_impl(*args, cfg=cfg),
+            tuple(
+                x.reshape((b // c, c) + x.shape[1:])
+                for x in (faces, face_valid, poses, kb, corners, corner_colors)
+            ),
+        )
+        return rgb.reshape((b,) + rgb.shape[2:]), depth.reshape((b,) + depth.shape[2:])
+    return _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, cfg=cfg)
+
+
+def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg):
+    b, nf, _ = faces.shape
+    use_csr = cfg.use_pallas and (
+        cfg.binning == "csr" or (cfg.binning == "auto" and nf > 2048)
+    )
+    # Tile geometry of the active path: the csr kernel packs 8 faces across
+    # sublanes over one 128-px lane block, so its tiles are 8x smaller than
+    # the dense/XLA (tile_h, tile_w) tiles.
+    if use_csr:
+        th, tw = cfg.csr_tile_h, cfg.csr_tile_w
+        assert th * tw == 128, "csr tile must be one 128-lane pixel block"
+    else:
+        th, tw = cfg.tile_h, cfg.tile_w
+    t_y, t_x = -(-cfg.height // th), -(-cfg.width // tw)
+    t = t_y * t_x
+    p = th * tw
+
     u, v, z = project_vertices(corners.reshape(b, nf * 3, 3), poses, kb)
     fu = u.reshape(b, nf, 3)  # (B, F, 3)
     fv = v.reshape(b, nf, 3)
@@ -454,10 +566,13 @@ def rasterize(
     # coefficients carry 1/area ~ 1e6+ and amplify float error into garbage
     # attribute values (e.g. the coincident pole vertices of a lat/long
     # sphere); such faces cannot legitimately cover a pixel center.
-    screen_area = _edge(
-        fu[..., 0], fv[..., 0], fu[..., 1], fv[..., 1], fu[..., 2], fv[..., 2]
+    screen_area = (
+        (fu[..., 1] - fu[..., 0]) * (fv[..., 2] - fv[..., 0])
+        - (fv[..., 1] - fv[..., 0]) * (fu[..., 2] - fu[..., 0])
     )
     valid = face_valid & in_range & (jnp.abs(screen_area) > 1e-6)
+    if cfg.backface_cull:
+        valid = valid & (screen_area * cfg.backface_cull > 0)
     fq = 1.0 / jnp.where(jnp.abs(fz) < 1e-12, 1e-12, fz)
 
     # Flatten faces across the batch so one work list covers all samples.
@@ -465,22 +580,50 @@ def rasterize(
     fv_flat = fv.reshape(b * nf, 3)
     fq_flat = fq.reshape(b * nf, 3)
     fcol_flat = fcol.reshape(b * nf, 3, 3)
+    records = build_face_records(fu_flat, fv_flat, fq_flat, fcol_flat, valid.reshape(b * nf))
 
     if use_csr:
-        sorted_face, offsets, counts = jax.vmap(partial(bin_faces_csr, cfg=cfg))(
-            fu, fv, valid
-        )  # (B, N), (B, T), (B, T)
+        sorted_face, offsets, counts, dropped = jax.vmap(
+            partial(bin_faces_csr, cfg=cfg, th=th, tw=tw)
+        )(fu, fv, valid)  # (B, N), (B, T), (B, T), (B,)
+        # Truncation is observable: unlike the reference GL renderer (always
+        # exact, render_py_multi.py:84-99), the CSR per-face tile budget CAN
+        # drop pairs for big-triangle meshes — warn loudly instead of
+        # rendering silent holes.  tune_raster_for_bank (engine/refine.py)
+        # sizes the budget so production banks never hit this; the in-jit
+        # warning is a backstop where host callbacks are supported (CPU —
+        # the test/debug environment; tunneled TPU backends raise
+        # UNIMPLEMENTED for debug callbacks, so on TPU detection relies on
+        # the tuner + the csr_dropped_pairs() query).
+        if jax.default_backend() == "cpu":
+            jax.lax.cond(
+                jnp.sum(dropped) > 0,
+                lambda d: jax.debug.print(
+                    "deepim_tpu.rasterizer WARNING: CSR binning dropped {d} "
+                    "face-tile pairs (per-face tile budget too small for "
+                    "this mesh at this pose) - the render has holes; raise "
+                    "RasterConfig.bin_pairs or switch binning='dense' "
+                    "(see engine.refine.tune_raster_for_bank)",
+                    d=d,
+                ),
+                lambda d: None,
+                jnp.sum(dropped),
+            )
     else:
         tile_faces, counts = _bin_batch(fu, fv, valid, cfg)  # (B, T, K), (B, T)
 
     # One globally pooled, count-sorted work list over all (batch, tile)
     # pairs.  `active_tiles` is a per-sample *average* budget: the batch
-    # shares w_items = B * active_tiles work slots, so a close-up sample can
+    # shares w_items = B * active work slots, so a close-up sample can
     # borrow slots from far-away samples.  Sorted-descending counts put every
-    # empty tile in a contiguous suffix, which the Pallas kernel exploits to
-    # skip their DMAs entirely.
-    a = cfg.active_tiles if cfg.active_tiles and cfg.active_tiles < t else t
-    w_items = min(b * a, b * t)
+    # empty tile in a contiguous suffix, which the Pallas kernels exploit to
+    # skip their DMAs entirely.  The budget is counted in (tile_h, tile_w)
+    # tiles; the csr path gets the same PIXEL area of its finer tiles.
+    if cfg.active_tiles:
+        a = min(-(-cfg.active_tiles * cfg.tile_h * cfg.tile_w // p), t)
+    else:
+        a = t
+    w_items = b * a
     counts_flat = counts.reshape(b * t)
     cnt_top, flat_ids = jax.lax.top_k(counts_flat, w_items)  # (W,)
     sample_of = flat_ids // t
@@ -490,39 +633,26 @@ def rasterize(
         tf_global = jnp.where(tf_sel >= 0, tf_sel + (sample_of * nf)[:, None], -1)
 
     dtype = fu.dtype
-    ty = (tile_of // cfg.tiles_x).astype(dtype)
-    tx = (tile_of % cfg.tiles_x).astype(dtype)
-    py = ty[:, None] * cfg.tile_h + jax.lax.broadcasted_iota(
-        dtype, (cfg.tile_h, cfg.tile_w), 0
-    ).reshape(1, p)
-    px = tx[:, None] * cfg.tile_w + jax.lax.broadcasted_iota(
-        dtype, (cfg.tile_h, cfg.tile_w), 1
-    ).reshape(1, p)
-
-    planes_flat = _face_planes(fu_flat, fv_flat, fq_flat, fcol_flat)
-
-    def untile_grid(x, channels=None):
-        """(B*T, P[, C]) tile rows -> (B, H, W[, C]) images."""
-        ch = () if channels is None else (channels,)
-        out = (
-            x.reshape(b, cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, *ch)
-            .transpose(0, 1, 3, 2, 4, *(range(5, 5 + len(ch))))
-            .reshape(b, cfg.tiles_y * cfg.tile_h, cfg.tiles_x * cfg.tile_w, *ch)
-        )
-        return out[:, : cfg.height, : cfg.width]
+    ty = (tile_of // t_x).astype(dtype)
+    tx = (tile_of % t_x).astype(dtype)
+    py = ty[:, None] * th + jax.lax.broadcasted_iota(dtype, (th, tw), 0).reshape(1, p)
+    px = tx[:, None] * tw + jax.lax.broadcasted_iota(dtype, (th, tw), 1).reshape(1, p)
+    px = jnp.broadcast_to(px, (w_items, p))
+    py = jnp.broadcast_to(py, (w_items, p))
 
     if use_csr:
-        from deepim_tpu.render.pallas_raster import (
-            build_face_records,
-            pallas_csr_group,
-        )
+        from deepim_tpu.render.pallas_raster import merge_slots, pallas_csr_group
 
-        face_records = build_face_records(
-            fu_flat, fv_flat, planes_flat, valid.reshape(b * nf), fq_flat
-        )
         ch = cfg.csr_chunk
         n_pairs = sorted_face.shape[1]
-        sorted_face_flat = sorted_face.reshape(b * n_pairs)
+        # Sentinel tail (value nf = "invalid face") so the last tile's chunk
+        # slices stay in-bounds without shifting: an end-clamped slice would
+        # consume stale face ids from before the chunk and skip its real
+        # tail faces whenever the final sample's pairs come within csr_chunk
+        # of the budget.
+        sorted_face_flat = jnp.concatenate(
+            [sorted_face.reshape(b * n_pairs), jnp.full((ch,), nf, jnp.int32)]
+        )
         cnt = cnt_top.astype(jnp.int32)
         seg_off = offsets.reshape(b * t)[flat_ids]  # per-sample pair offset
         chunks_w = (cnt + ch - 1) // ch             # (W,)
@@ -541,100 +671,106 @@ def rasterize(
         w_of_s = jnp.minimum(_run_length_decode(chunk_csum, s_total), w_items - 1)
 
         interpret = jax.default_backend() == "cpu"
-        zq_acc = jnp.full((w_items, p), _NEG, jnp.float32)
-        rgbq_acc = jnp.zeros((w_items, 3, p), jnp.float32)
         rows = jnp.arange(w_items)
-        for g in range(n_groups):
-            sl = slice(g * group, (g + 1) * group)
-            w_g = w_of_s[sl]
-            s_ids_g = jnp.arange(g * group, (g + 1) * group, dtype=jnp.int32)
 
-            def run_group(w_g=w_g, s_ids_g=s_ids_g, g=g,
-                          zq_acc=zq_acc, rgbq_acc=rgbq_acc):
+        def group_body(carry, g):
+            """One csr_group-sized slab of chunks (lax.scan over groups: ONE
+            traced pallas_call + cond regardless of the static group count —
+            an unrolled loop would emit ~11 of each at LINEMOD scale,
+            quadrupling compile time and program size)."""
+            zq_acc, fid_acc, rgbq_acc = carry
+
+            def run_group():
+                s_ids_g = g * group + jnp.arange(group, dtype=jnp.int32)
+                w_g = jax.lax.dynamic_slice(w_of_s, (g * group,), (group,))
                 c_of_s = s_ids_g - (chunk_csum[w_g] - chunks_w[w_g])
                 nh_g = jnp.clip(cnt[w_g] - c_of_s * ch, 0, ch)
                 init_g = (c_of_s == 0).astype(jnp.int32)
-                if g > 0:
-                    # A tile split across groups starts from a FRESH output
-                    # buffer in the new group; force init on the group's
-                    # first chunk (the z-merge below combines the halves).
-                    init_g = init_g.at[0].set(1)
+                # A tile split across groups starts from a FRESH output
+                # buffer in the new group; force init on the group's first
+                # chunk (the z-merge below combines the halves).  A no-op
+                # for group 0, whose first chunk opens its tile anyway.
+                init_g = init_g.at[0].set(1)
                 row_g = jnp.where(nh_g > 0, w_g, w_items)
-                x0_g = (tile_of[w_g] % cfg.tiles_x) * cfg.tile_w
-                y0_g = (tile_of[w_g] // cfg.tiles_x) * cfg.tile_h
+                x0_g = (tile_of[w_g] % t_x) * tw
+                y0_g = (tile_of[w_g] // t_x) * th
                 # First budgeted pair of each chunk within the flat sorted-
                 # pair array; the chunk's CH pair slots are CONTIGUOUS from
                 # there (a tile's CSR segment is contiguous), so the face
                 # ids of a whole chunk are one dynamic slice, not CH scalar
-                # gathers.
-                start_g = jnp.clip(
-                    sample_of[w_g] * n_pairs + seg_off[w_g] + c_of_s * ch,
-                    0, b * n_pairs - ch,
-                )
+                # gathers.  The sentinel tail keeps every real chunk's slice
+                # in-bounds; junk-chunk slices clamp and are never read
+                # (nh = 0).
+                start_g = sample_of[w_g] * n_pairs + seg_off[w_g] + c_of_s * ch
                 sf = jax.vmap(
                     lambda st: jax.lax.dynamic_slice(sorted_face_flat, (st,), (ch,))
                 )(start_g)  # (G, CH)
                 fg = (sample_of[w_g] * nf)[:, None] + jnp.minimum(sf, nf - 1)
-                rec = face_records[fg.reshape(-1)]  # (G*CH, 32)
+                rec = records[fg.reshape(-1)]  # (G*CH, 32)
                 out = pallas_csr_group(
                     rec, nh_g, init_g, row_g, x0_g, y0_g,
-                    w_items, cfg.tile_h, cfg.tile_w, ch=ch, interpret=interpret,
+                    w_items, th, tw, ch=ch, interpret=interpret,
                 )
+                g_q, g_f, g_r, g_g, g_b = merge_slots(out)
                 # Rows this group touched: [w of first chunk, w of last real
-                # chunk]; merge by the z-test (exact for split tiles).
+                # chunk]; merge by the (z, -fid) test (exact for split
+                # tiles).
                 w_hi = jnp.max(jnp.where(nh_g > 0, row_g, -1))
                 touched = (rows >= w_g[0]) & (rows <= w_hi)
-                upd = touched[:, None] & (out[:, 0, :] > zq_acc)
+                upd = touched[:, None] & (
+                    (g_q > zq_acc) | ((g_q == zq_acc) & (g_f < fid_acc))
+                )
+                g_rgb = jnp.stack([g_r, g_g, g_b], axis=-1)
                 return (
-                    jnp.where(upd, out[:, 0, :], zq_acc),
-                    jnp.where(upd[:, None, :], out[:, 1:4, :], rgbq_acc),
+                    jnp.where(upd, g_q, zq_acc),
+                    jnp.where(upd, g_f, fid_acc),
+                    jnp.where(upd[..., None], g_rgb, rgbq_acc),
                 )
 
-            if g == 0:
-                zq_acc, rgbq_acc = run_group()
-            else:
-                # Groups past the actual chunk count are SKIPPED at runtime:
-                # the static budget covers the worst case, the executed
-                # gathers/kernel scale with the real face-tile overlaps.
-                zq_acc, rgbq_acc = jax.lax.cond(
-                    g * group < total_chunks,
-                    run_group,
-                    lambda zq_acc=zq_acc, rgbq_acc=rgbq_acc: (zq_acc, rgbq_acc),
-                )
+            # Groups past the actual chunk count are SKIPPED at runtime:
+            # the static budget covers the worst case, the executed
+            # gathers/kernel scale with the real face-tile overlaps.
+            return jax.lax.cond(
+                g * group < total_chunks, run_group,
+                lambda: (zq_acc, fid_acc, rgbq_acc),
+            ), None
+
+        (zq_acc, _, rgbq_acc), _ = jax.lax.scan(
+            group_body,
+            (
+                jnp.full((w_items, p), _NEG, jnp.float32),
+                jnp.full((w_items, p), _BIG, jnp.float32),
+                jnp.zeros((w_items, p, 3), jnp.float32),
+            ),
+            jnp.arange(n_groups, dtype=jnp.int32),
+        )
         hit = zq_acc > 0
         qsafe = jnp.where(hit, zq_acc, 1.0)
         depth_t = jnp.where(hit, 1.0 / qsafe, 0.0)
-        rgb_t = jnp.where(
-            hit[:, None, :], rgbq_acc / qsafe[:, None, :], 0.0
-        )
-        rgb_t = jnp.moveaxis(rgb_t, 1, 2)  # (W, P, 3)
+        rgb_t = jnp.where(hit[..., None], rgbq_acc / qsafe[..., None], 0.0)
     elif cfg.use_pallas:
-        from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
+        from deepim_tpu.render.pallas_raster import pallas_visibility_shade
 
-        face_records = build_face_records(
-            fu_flat, fv_flat, planes_flat, valid.reshape(b * nf), fq_flat
-        )
         # Rows at index >= count are -1-padded; the kernel's face loop is
         # bounded by count so the garbage gathered for them is never read.
-        tile_records = face_records[jnp.maximum(tf_global, 0)]  # (W, K, 32)
+        tile_records = records[jnp.maximum(tf_global, 0)]  # (W, K, 32)
         tile_xy = jnp.stack(
-            [
-                (tile_of % cfg.tiles_x) * cfg.tile_w,
-                (tile_of // cfg.tiles_x) * cfg.tile_h,
-            ],
-            axis=1,
+            [(tile_of % t_x) * tw, (tile_of // t_x) * th], axis=1
         ).astype(jnp.int32)
-        depth_t, rgb_t = pallas_visibility_shade(
-            tile_records, cnt_top.astype(jnp.int32), tile_xy,
-            cfg.tile_h, cfg.tile_w,
+        q_t, rgbq_t = pallas_visibility_shade(
+            tile_records, cnt_top.astype(jnp.int32), tile_xy, th, tw,
             interpret=jax.default_backend() == "cpu",
         )
+        hit = q_t > 0
+        qsafe = jnp.where(hit, q_t, 1.0)
+        depth_t = jnp.where(hit, 1.0 / qsafe, 0.0)
+        rgb_t = jnp.where(hit[..., None], rgbq_t / qsafe[..., None], 0.0)
     else:
-        best_f, _ = _visibility_pass(
-            fu_flat, fv_flat, fq_flat, tf_global, cnt_top, py, px, cfg
+        best_f, best_q = _visibility_pass(
+            records, tf_global, cnt_top, py, px, cfg
         )  # (W, P)
         # Shade in the compacted tile domain (W*P pixels, not B*H*W).
-        rgb_t, depth_t = _shade_tiles(best_f, planes_flat, px, py)
+        rgb_t, depth_t = _shade_from_records(best_f, best_q, records, px, py)
 
     # Place finished tiles back into the full (B, T, P) grid, then untile.
     # Formulated as a row GATHER via the inverse permutation of the work
@@ -643,12 +779,11 @@ def rasterize(
     # tiny (B*T,) int32 inverse map is built with a scatter.  Work items with
     # count 0 carry kernel garbage and un-selected tiles have no work item —
     # both index the appended zero trash row.
-    w_items_n = cnt_top.shape[0]
     src = (
-        jnp.full((b * t,), w_items_n, jnp.int32)
+        jnp.full((b * t,), w_items, jnp.int32)
         .at[flat_ids]
         .set(
-            jnp.where(cnt_top > 0, jnp.arange(w_items_n, dtype=jnp.int32), w_items_n),
+            jnp.where(cnt_top > 0, jnp.arange(w_items, dtype=jnp.int32), w_items),
             mode="drop",
         )
     )
@@ -656,7 +791,12 @@ def rasterize(
     # passes (row-gather cost is per-row overhead dominated).
     rgbd = jnp.concatenate([rgb_t, depth_t[..., None]], axis=-1)  # (W, P, 4)
     rgbd_ext = jnp.concatenate([rgbd, jnp.zeros((1, p, 4), rgbd.dtype)], axis=0)
-    out = untile_grid(rgbd_ext[src], 4)
+    out = (
+        rgbd_ext[src]
+        .reshape(b, t_y, t_x, th, tw, 4)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, t_y * th, t_x * tw, 4)
+    )[:, : cfg.height, : cfg.width]
     return out[..., 0:3], out[..., 3]
 
 

@@ -40,7 +40,11 @@ def test_modelnet(cfg: Config, params, model, batch_size: int = 16) -> dict:
         jnp.asarray(bank.normals),
     )
     records = db.sample_records()
-    ecfg = EngineConfig.from_config(cfg, train=False)
+    from deepim_tpu.engine.refine import tune_raster_for_bank
+    ecfg = tune_raster_for_bank(
+        EngineConfig.from_config(cfg, train=False), bank_arrays,
+        cfg.dataset.intrinsic_matrix(),
+    )
     k = jnp.asarray(cfg.dataset.intrinsic_matrix())
 
     @jax.jit

@@ -29,10 +29,13 @@ def track_pairdb_sequence(
     import jax.numpy as jnp
 
     from deepim_tpu.data.loader import TestLoader
-    from deepim_tpu.engine.refine import EngineConfig, MeshBuffers
+    from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, tune_raster_for_bank
     from deepim_tpu.engine.tracker import make_tracker
 
-    ecfg = EngineConfig.from_config(cfg, train=False)
+    ecfg = tune_raster_for_bank(
+        EngineConfig.from_config(cfg, train=False), bank_arrays,
+        cfg.dataset.intrinsic_matrix(),
+    )
     loader = TestLoader(pairdb, cfg, batch_size=1)
     frames, poses_gt = [], []
     pose0 = None
@@ -98,16 +101,25 @@ def main():
         import jax.numpy as jnp
 
         from deepim_tpu.data.loader import TestLoader
-        from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, render_at_pose
+        from deepim_tpu.engine.refine import (
+            EngineConfig,
+            MeshBuffers,
+            render_at_pose,
+            tune_raster_for_bank,
+        )
         from deepim_tpu.toolkit.gen_video import _edge_overlay, _to_u8, images_to_video
         import cv2
         import os
         import tempfile
 
-        ecfg = EngineConfig.from_config(cfg, train=False)
+        bank_arrays = build_mesh_bank(cfg)
+        ecfg = tune_raster_for_bank(
+            EngineConfig.from_config(cfg, train=False), bank_arrays,
+            cfg.dataset.intrinsic_matrix(),
+        )
         loader = TestLoader(pairdb, cfg, batch_size=1)
         cls_idx = jnp.asarray([list(db.classes).index(db.cur_class)], jnp.int32)
-        meshes = MeshBuffers.gather(build_mesh_bank(cfg), cls_idx)
+        meshes = MeshBuffers.gather(bank_arrays, cls_idx)
         k = jnp.asarray(cfg.dataset.intrinsic_matrix())
         tmp = tempfile.mkdtemp()
         frame_paths = []

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default=None)
     ap.add_argument("--test-only", action="store_true")
+    ap.add_argument("--resume-epoch", type=int, default=0,
+                    help="resume training from this epoch's checkpoint")
     args = ap.parse_args()
 
     from deepim_tpu.config import Config, update_config_dict
@@ -88,6 +90,7 @@ def main():
                 "grad_clip": 1.0,
                 "INIT_MASK": "box_gt", "UPDATE_MASK": "box_gt", "MASK_DILATE": True,
                 "model_prefix": "bench13",
+                "RESUME": args.resume_epoch > 0, "begin_epoch": args.resume_epoch,
             },
             "TEST": {"test_iter": 4, "test_epoch": args.epochs,
                      "FAST_TEST": False, "UPDATE_MASK": "box_rendered"},

@@ -128,7 +128,10 @@ def stage_profile(args):
         fv = jnp.take_along_axis(v[:, :, None], faces, axis=1)
         fz = jnp.take_along_axis(z[:, :, None], faces, axis=1)
         in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=2)
-        area = rz._edge(fu[..., 0], fv[..., 0], fu[..., 1], fv[..., 1], fu[..., 2], fv[..., 2])
+        area = (
+            (fu[..., 1] - fu[..., 0]) * (fv[..., 2] - fv[..., 0])
+            - (fv[..., 1] - fv[..., 0]) * (fu[..., 2] - fu[..., 0])
+        )
         valid = face_valid & in_range & (jnp.abs(area) > 1e-6)
         return fu, fv, valid
 

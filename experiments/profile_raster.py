@@ -28,7 +28,7 @@ def main():
 
     from __graft_entry__ import _build_scene
     from deepim_tpu.render import rasterizer as rz
-    from deepim_tpu.render.pallas_raster import build_face_records, pallas_visibility_shade
+    from deepim_tpu.render.pallas_raster import pallas_visibility
 
     b, h, w = 64, 480, 640
     k_mat = np.array(
@@ -86,9 +86,8 @@ def main():
         sample_of = flat_ids // t
         tile_of = flat_ids % t
         tf_global = jnp.where(tf_sel >= 0, tf_sel + (sample_of * nf)[:, None], -1)
-        planes_flat = rz._face_planes(fu_flat, fv_flat, fq_flat, fcol_flat)
-        face_records = build_face_records(
-            fu_flat, fv_flat, planes_flat, valid.reshape(b * nf), fq_flat
+        face_records = rz.build_face_records(
+            fu_flat, fv_flat, fq_flat, fcol_flat, valid.reshape(b * nf)
         )
         tile_records = face_records[jnp.maximum(tf_global, 0)]
         tile_xy = jnp.stack(
@@ -105,10 +104,12 @@ def main():
           f"sum counts = {int(np.asarray(cnt_top).sum())}, max = {int(np.asarray(cnt_top).max())}")
 
     kern = jax.jit(
-        lambda r, c, xy: pallas_visibility_shade(r, c, xy, cfg.tile_h, cfg.tile_w)
+        lambda r, c, xy: pallas_visibility(r, c, xy, cfg.tile_h, cfg.tile_w)
     )
     t_kern = timeit(kern, tile_records, cnt_top, tile_xy)
-    depth_t, rgb_t = kern(tile_records, cnt_top, tile_xy)
+    q_t, f_t = kern(tile_records, cnt_top, tile_xy)
+    depth_t = jnp.where(q_t > 0, 1.0 / jnp.where(q_t > 0, q_t, 1.0), 0.0)
+    rgb_t = jnp.zeros(q_t.shape + (3,))
 
     @jax.jit
     def stage_untile(rgb_t, depth_t, cnt_top, flat_ids):

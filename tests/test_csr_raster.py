@@ -44,8 +44,10 @@ def test_csr_matches_dense_and_xla(mesh_fn):
     k = jnp.asarray(K_MAT)
     outs = {}
     # The cube's faces span many tiles; give csr the exact T*F pair budget
-    # (the default per-face budget targets dense small-face meshes).
-    full_budget = BASE.num_tiles * int(faces.shape[1])
+    # over its own FINE tiles (the default per-face budget targets dense
+    # small-face meshes).
+    n_fine = (-(-BASE.height // BASE.csr_tile_h)) * (-(-BASE.width // BASE.csr_tile_w))
+    full_budget = n_fine * int(faces.shape[1])
     for name, cfg in [
         ("xla", BASE),
         ("dense", replace(BASE, use_pallas=True, binning="dense")),
@@ -83,6 +85,118 @@ def test_csr_multi_group_merge():
     np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(small[0]), atol=5e-3)
 
 
+def test_csr_group_scan_merge():
+    """Force multiple lax.scan groups (csr_group=7): the cross-group forced
+    re-init + z-merge + runtime cond-skip path must be bit-identical to the
+    single-group render."""
+    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3))
+    k = jnp.asarray(K_MAT)
+    ref = rasterize(verts, cols, faces, fval, pose, k,
+                    replace(BASE, use_pallas=True, binning="csr"))
+    grouped = rasterize(verts, cols, faces, fval, pose, k,
+                        replace(BASE, use_pallas=True, binning="csr", csr_group=7))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(grouped[1]))
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(grouped[0]))
+
+
+def test_csr_dropped_pairs_counter():
+    """Truncation is counted: giant cube faces under a starved per-face
+    budget report dropped pairs; the full budget reports zero."""
+    verts, cols, faces, fval, pose = _scene(make_test_cube(0.08), b=1)
+    kb = jnp.broadcast_to(jnp.asarray(K_MAT), (1, 3, 3))
+    from deepim_tpu.render.rasterizer import project_vertices
+
+    u, v, z = project_vertices(verts, pose, kb)
+    fu = jnp.take_along_axis(u[:, :, None], faces, axis=1)[0]
+    fv = jnp.take_along_axis(v[:, :, None], faces, axis=1)[0]
+    f = int(faces.shape[1])
+    starved = replace(BASE, bin_pairs=f)  # S = 1 tile per face
+    _, _, counts_starved, dropped_starved = bin_faces_csr(fu, fv, fval[0], starved)
+    full = replace(BASE, bin_pairs=f * BASE.num_tiles)
+    _, _, counts_full, dropped_full = bin_faces_csr(fu, fv, fval[0], full)
+    assert int(dropped_full) == 0
+    assert int(dropped_starved) == int(counts_full.sum() - counts_starved.sum()) > 0
+
+
+def test_production_path_big_face_mesh():
+    """A >2048-face large-triangle mesh through the PRODUCTION config path
+    (EngineConfig.from_config -> tune_raster_for_bank auto-selects CSR and
+    sizes its pair budget) renders with the same hit mask as the exact XLA
+    pipeline — no silent holes (the round-2 auto-default failure mode)."""
+    import dataclasses
+
+    from deepim_tpu.config import Config
+    from deepim_tpu.engine.refine import EngineConfig, tune_raster_for_bank
+
+    # Cube (12 giant faces) padded past the F>2048 'auto' CSR threshold —
+    # the big-face worst case that the default per-face budget truncated.
+    bank = MeshBank.from_meshes([make_test_cube(0.08)], pad_multiple=2560)
+    assert bank.faces.shape[1] > 2048
+    b = 2
+    rng_l = np.random.RandomState(3)
+    rot = R.random(b, random_state=rng_l).as_matrix().astype(np.float32)
+    pose = np.concatenate([rot, np.zeros((b, 3, 1), np.float32)], 2)
+    pose[:, 2, 3] = 0.5
+    tile = lambda x: jnp.tile(jnp.asarray(x), (b,) + (1,) * (np.asarray(x).ndim - 1))
+    verts, cols, faces, fval = (
+        tile(bank.vertices), tile(bank.colors), tile(bank.faces), tile(bank.face_valid)
+    )
+    bank_arrays = (
+        jnp.asarray(bank.vertices), jnp.asarray(bank.colors),
+        jnp.asarray(bank.faces), jnp.asarray(bank.face_valid),
+    )
+
+    cfg = Config(SCALES=((96, 128),))
+    ecfg = EngineConfig.from_config(cfg, train=False)
+    n_fine = (-(-96 // ecfg.raster.csr_tile_h)) * (-(-128 // ecfg.raster.csr_tile_w))
+    # from_config picks the backend-appropriate kernel path; force the TPU
+    # (Pallas) decision on the CPU test host, interpreted.
+    ecfg = dataclasses.replace(
+        ecfg,
+        raster=dataclasses.replace(
+            ecfg.raster, height=96, width=128, znear=0.05, use_pallas=True, chunk=16
+        ),
+    )
+    ecfg = tune_raster_for_bank(ecfg, bank_arrays, K_MAT)
+    assert ecfg.raster.bin_pairs >= bank.faces.shape[1] * n_fine
+
+    k = jnp.asarray(K_MAT)
+    rgb_c, depth_c = rasterize(verts, cols, faces, fval, pose, k, ecfg.raster)
+    xla_cfg = dataclasses.replace(ecfg.raster, use_pallas=False)
+    rgb_x, depth_x = rasterize(verts, cols, faces, fval, pose, k, xla_cfg)
+    assert (np.asarray(depth_c) > 0).mean() > 0.05
+    np.testing.assert_array_equal(np.asarray(depth_c) > 0, np.asarray(depth_x) > 0)
+    np.testing.assert_allclose(np.asarray(depth_c), np.asarray(depth_x), atol=1e-5)
+
+
+def test_backface_cull_exact():
+    """Backface culling on a closed, consistently-wound mesh (our
+    icosphere/benchmark generators wind front faces to NEGATIVE signed
+    screen area) must be image-identical — backfaces always lose the z-test
+    and silhouette shared edges interpolate identical corner attributes."""
+    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3))
+    k = jnp.asarray(K_MAT)
+    for base in (BASE, replace(BASE, use_pallas=True, binning="csr")):
+        ref = rasterize(verts, cols, faces, fval, pose, k, base)
+        culled = rasterize(verts, cols, faces, fval, pose, k,
+                           replace(base, backface_cull=-1))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(culled[1]))
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(culled[0]), atol=1e-3)
+
+
+def test_raster_batch_chunk_identical():
+    """Sub-batch chunking (lax.map over the batch) is a pure scheduling
+    change — outputs must match the single-shot render exactly."""
+    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3), b=4)
+    k = jnp.asarray(K_MAT)
+    for base in (BASE, replace(BASE, use_pallas=True, binning="csr")):
+        ref = rasterize(verts, cols, faces, fval, pose, k, base)
+        chunked = rasterize(verts, cols, faces, fval, pose, k,
+                            replace(base, raster_batch_chunk=2))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(chunked[1]))
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(chunked[0]))
+
+
 def test_bin_faces_csr_exact_pairs(rng):
     """CSR pair list reproduces the dense overlap matrix exactly (same
     per-tile face sets, ascending face order)."""
@@ -97,7 +211,8 @@ def test_bin_faces_csr_exact_pairs(rng):
     # small faces).
     cfg = replace(BASE, bin_pairs=BASE.num_tiles * f)
     tile_faces, counts_d = bin_faces(fu, fv, valid, cfg)
-    sorted_face, offsets, counts_s = bin_faces_csr(fu, fv, valid, cfg)
+    sorted_face, offsets, counts_s, dropped = bin_faces_csr(fu, fv, valid, cfg)
+    assert int(dropped) == 0  # full budget: nothing truncated
     np.testing.assert_array_equal(np.asarray(counts_d), np.asarray(counts_s))
     tf = np.asarray(tile_faces)
     sf = np.asarray(sorted_face)
