@@ -58,13 +58,20 @@ def main() -> None:
     # 480x640 (VERDICT r2 item 7; reference GLSL texture2D,
     # render_py_multi.py:40-52).
     texture = os.environ.get("BENCH_TEXTURE", "0") == "1"
+    # BENCH_DETAIL: icosphere subdivision level (5 = 20k faces, the default
+    # LINEMOD-scale scene; 2 = ~320-face light meshes for the small-object
+    # comparison point).
+    detail = int(os.environ.get("BENCH_DETAIL", "5"))
     h, w, iters = 480, 640, 4
     k_mat = np.array(
         [[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]],
         np.float32,
     )
+    # active_tiles=32 coarse tiles/sample = a 32 KPx/sample budget (the
+    # ~160 px objects cover ~25 KPx; the batch-pooled top-k lets close-up
+    # samples borrow) — top_k/merge/output costs scale with the budget.
     ecfg, bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = _build_scene(
-        b, h, w, k_mat, num_iters=iters, mesh_detail=5, active_tiles=48,
+        b, h, w, k_mat, num_iters=iters, mesh_detail=detail, active_tiles=32,
         texture_sampling=texture,
     )
     # FAST_TEST protocol: the reference's shipped eval configs run with
@@ -131,8 +138,14 @@ def main() -> None:
             {
                 "metric": "refinement_frames_per_s_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (480x640, 20k-face meshes, 4 refine iters, FAST_TEST, batch %d%s)"
-                % (b, ", texture-sampling" if texture else ""),
+                "unit": "frames/s (480x640, %s meshes, 4 refine iters, FAST_TEST, batch %d%s)"
+                % (
+                    {2: "320-face", 4: "5k-face", 5: "20k-face", 6: "82k-face"}.get(
+                        detail, "detail-%d" % detail
+                    ),
+                    b,
+                    ", texture-sampling" if texture else "",
+                ),
                 "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 2),
             }
         )

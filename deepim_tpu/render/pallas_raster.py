@@ -152,45 +152,50 @@ def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_re
         out_ref[0, 8:16, :] = jnp.full((8, lanes), _BIG, jnp.float32)
         out_ref[0, 16:40, :] = jnp.zeros((24, lanes), jnp.float32)
 
-    zq = out_ref[0, 0:8, :]
-    fb = out_ref[0, 8:16, :]
-    r = out_ref[0, 16:24, :]
-    g = out_ref[0, 24:32, :]
-    b = out_ref[0, 32:40, :]
+    # Junk chunks (group padding past the frame's real chunk count) carry
+    # n_here = 0: predicate the whole unrolled loop off so they cost only
+    # the grid step, not 16 masked vector passes.
+    @pl.when(n_here > 0)
+    def _():
+        zq = out_ref[0, 0:8, :]
+        fb = out_ref[0, 8:16, :]
+        r = out_ref[0, 16:24, :]
+        g = out_ref[0, 24:32, :]
+        b = out_ref[0, 32:40, :]
 
-    for i in range(ch // 8):
-        rec8 = rec_ref[i * 8:(i + 1) * 8, :]  # (8, 32): 8 faces, static slice
+        for i in range(ch // 8):
+            rec8 = rec_ref[i * 8:(i + 1) * 8, :]  # (8, 32): 8 faces, static slice
 
-        def at(j):  # (8, 1) per-face lane, broadcasts against (1, P) pixels
-            return rec8[:, j:j + 1]
+            def at(j, rec8=rec8):  # (8, 1) lane, broadcasts against (1, P)
+                return rec8[:, j:j + 1]
 
-        live = (i * 8 + slot) < n_here  # mask the ragged last step
-        dx = px - at(0)  # (8, P)
-        dy = py - at(1)
-        e0 = at(2) * dx + at(3) * dy + at(4)
-        e1 = at(5) * dx + at(6) * dy
-        e2 = at(7) * dx + at(8) * dy
-        inside = (jnp.minimum(e0, jnp.minimum(e1, e2)) >= 0) & live
-        qi = jnp.clip(at(9) * dx + at(10) * dy + at(11), at(12), at(13))
-        # Strict z-test: within a slot faces arrive in draw order, so ties
-        # keep the first; cross-slot ties are resolved by the merge's fid
-        # comparator.
-        upd = inside & (qi > zq)
-        f = jnp.broadcast_to(at(14), zq.shape)
-        rr = at(16) * dx + at(17) * dy + at(18)
-        gg = at(19) * dx + at(20) * dy + at(21)
-        bb = at(22) * dx + at(23) * dy + at(24)
-        zq = jnp.where(upd, qi, zq)
-        fb = jnp.where(upd, f, fb)
-        r = jnp.where(upd, rr, r)
-        g = jnp.where(upd, gg, g)
-        b = jnp.where(upd, bb, b)
+            live = (i * 8 + slot) < n_here  # mask the ragged last step
+            dx = px - at(0)  # (8, P)
+            dy = py - at(1)
+            e0 = at(2) * dx + at(3) * dy + at(4)
+            e1 = at(5) * dx + at(6) * dy
+            e2 = at(7) * dx + at(8) * dy
+            inside = (jnp.minimum(e0, jnp.minimum(e1, e2)) >= 0) & live
+            qi = jnp.clip(at(9) * dx + at(10) * dy + at(11), at(12), at(13))
+            # Strict z-test: within a slot faces arrive in draw order, so
+            # ties keep the first; cross-slot ties are resolved by the
+            # merge's fid comparator.
+            upd = inside & (qi > zq)
+            f = jnp.broadcast_to(at(14), zq.shape)
+            rr = at(16) * dx + at(17) * dy + at(18)
+            gg = at(19) * dx + at(20) * dy + at(21)
+            bb = at(22) * dx + at(23) * dy + at(24)
+            zq = jnp.where(upd, qi, zq)
+            fb = jnp.where(upd, f, fb)
+            r = jnp.where(upd, rr, r)
+            g = jnp.where(upd, gg, g)
+            b = jnp.where(upd, bb, b)
 
-    out_ref[0, 0:8, :] = zq
-    out_ref[0, 8:16, :] = fb
-    out_ref[0, 16:24, :] = r
-    out_ref[0, 24:32, :] = g
-    out_ref[0, 32:40, :] = b
+        out_ref[0, 0:8, :] = zq
+        out_ref[0, 8:16, :] = fb
+        out_ref[0, 16:24, :] = r
+        out_ref[0, 24:32, :] = g
+        out_ref[0, 32:40, :] = b
 
 
 def pallas_csr_group(

@@ -118,10 +118,11 @@ class RasterConfig:
     # the worst-case pair budget; groups past the frame's ACTUAL chunk count
     # are skipped at runtime (lax.cond), so only the groups with real work
     # run.  Smaller groups waste fewer record-gather rows on the final
-    # partially-full group (the per-row gather overhead, ~12 ns on v5e, is
-    # the csr path's main XLA-side cost); larger groups amortize pallas_call
-    # launches.  Bounded by the scalar-prefetch SMEM budget.
-    csr_group: int = 2048
+    # partially-full group (the per-row gather overhead, ~20 ns on v5e, is
+    # the csr path's main XLA-side cost; a group gathers its FULL slab of
+    # csr_group * csr_chunk rows whenever any of its chunks is real);
+    # larger groups amortize pallas_call launches.
+    csr_group: int = 512
 
     @property
     def tiles_y(self) -> int:

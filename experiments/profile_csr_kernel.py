@@ -71,6 +71,8 @@ def main():
             - (fv[..., 1] - fv[..., 0]) * (fu[..., 2] - fu[..., 0])
         )
         valid = meshes.face_valid & in_range & (jnp.abs(area) > 1e-6)
+        if cfg.backface_cull:
+            valid = valid & (area * cfg.backface_cull > 0)
         fq = 1.0 / jnp.where(jnp.abs(fz) < 1e-12, 1e-12, fz)
         records = rz.build_face_records(
             fu.reshape(-1, 3), fv.reshape(-1, 3), fq.reshape(-1, 3),
