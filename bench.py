@@ -73,7 +73,17 @@ def main() -> None:
     ecfg, bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = _build_scene(
         b, h, w, k_mat, num_iters=iters, mesh_detail=detail, active_tiles=32,
         texture_sampling=texture,
+        pairs_per_face=int(os.environ.get("BENCH_PPF", "0")),
     )
+    # BENCH_BINNING: force 'csr' or 'dense' instead of the F>2048 'auto'
+    # rule (A/B the two kernel generations at any mesh scale).
+    if os.environ.get("BENCH_BINNING"):
+        import dataclasses
+
+        ecfg = dataclasses.replace(
+            ecfg,
+            raster=dataclasses.replace(ecfg.raster, binning=os.environ["BENCH_BINNING"]),
+        )
     # FAST_TEST protocol: the reference's shipped eval configs run with
     # TEST.FAST_TEST=True + UPDATE_MASK='box_rendered', which drops the flow
     # decoder and mask head from the test graph (deepIM_flownet.py:624-676)

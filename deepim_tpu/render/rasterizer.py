@@ -415,6 +415,9 @@ def build_face_records(fu, fv, fq, fcol, valid):
     for ch in range(3):
         a, b, c0 = attr_plane(fcol[:, :, ch] * fq)
         cols += [a, b, c0]
+    # Stack directly in (N, 25) row layout: XLA fuses the column writes
+    # into one relayout pass (a lane-major (25, N) build + explicit
+    # transpose measured ~2x slower at LINEMOD scale).
     rec = jnp.stack(cols, axis=1)  # (N, 25)
     return jnp.pad(rec, ((0, 0), (0, 32 - rec.shape[1])))
 
