@@ -75,11 +75,19 @@ class EngineConfig:
     init_mask_host: bool = False
 
     @staticmethod
-    def from_config(cfg: Config, train: bool = False) -> "EngineConfig":
+    def from_config(
+        cfg: Config, train: bool = False, bank_arrays=None, k=None
+    ) -> "EngineConfig":
+        """Build from a Config.  Pass the mesh bank (`bank_arrays`, tuple or
+        dict as fed to MeshBuffers.gather) so the CSR binning budget is
+        sized from the actual face geometry (tune_raster_for_bank) — the
+        safe default for every production driver; without it big-triangle
+        meshes fall back to the S=8 per-face budget and rely on the
+        runtime dropped-pair warning."""
         # The Pallas per-tile kernel is the production path on TPU; the pure
         # XLA pipeline is used on CPU (tests) where Pallas runs interpreted.
         use_pallas = jax.default_backend() == "tpu"
-        return EngineConfig(
+        ecfg = EngineConfig(
             height=cfg.height,
             width=cfg.width,
             raster=RasterConfig(
@@ -106,6 +114,12 @@ class EngineConfig:
             init_mask_host=(not train) and cfg.TEST.MASK_DILATE,
             texture_sampling=cfg.dataset.TEXTURE_SAMPLING,
         )
+        if bank_arrays is not None:
+            ecfg = tune_raster_for_bank(
+                ecfg, bank_arrays,
+                cfg.dataset.intrinsic_matrix() if k is None else k,
+            )
+        return ecfg
 
 
 def tune_raster_for_bank(

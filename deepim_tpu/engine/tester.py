@@ -28,13 +28,7 @@ import numpy as np
 
 from deepim_tpu.config import Config
 from deepim_tpu.data.loader import TestLoader
-from deepim_tpu.engine.refine import (
-    EngineConfig,
-    MeshBuffers,
-    Observation,
-    refine,
-    tune_raster_for_bank,
-)
+from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, Observation, refine
 from deepim_tpu.eval.evaluator import PoseEvaluator
 from deepim_tpu.utils.logger import logger
 
@@ -109,10 +103,7 @@ def eval_flow_epe(
     from deepim_tpu.ops.flow import flow_from_depth
     from deepim_tpu.ops.zoom import zoom_flow
 
-    ecfg = tune_raster_for_bank(
-        EngineConfig.from_config(cfg, train=False), bank_arrays,
-        cfg.dataset.intrinsic_matrix(),
-    )
+    ecfg = EngineConfig.from_config(cfg, train=False, bank_arrays=bank_arrays)
     nf = float(cfg.dataset.NORMALIZE_FLOW)
 
     @jax.jit
@@ -196,10 +187,7 @@ def pred_eval(
     batch_size: int = 16,
     refine_jit=None,
 ) -> dict:
-    ecfg = tune_raster_for_bank(
-        EngineConfig.from_config(cfg, train=False), bank_arrays,
-        cfg.dataset.intrinsic_matrix(),
-    )
+    ecfg = EngineConfig.from_config(cfg, train=False, bank_arrays=bank_arrays)
     num_iters = cfg.TEST.test_iter
     classes = [db.cur_class for db, _ in class_dbs]
     all_classes = list(class_dbs[0][0].classes)

@@ -343,7 +343,15 @@ def csr_dropped_pairs(vertices, faces, face_valid, poses, k, cfg: RasterConfig):
     fv = jnp.take_along_axis(v[:, :, None], faces, axis=1)
     fz = jnp.take_along_axis(z[:, :, None], faces, axis=1)
     in_range = jnp.all((fz > cfg.znear) & (fz < cfg.zfar), axis=2)
-    valid = face_valid & in_range
+    # Same validity the render applies (sliver + backface culls) — a face
+    # the render culls cannot produce a hole, so it must not count here.
+    screen_area = (
+        (fu[..., 1] - fu[..., 0]) * (fv[..., 2] - fv[..., 0])
+        - (fv[..., 1] - fv[..., 0]) * (fu[..., 2] - fu[..., 0])
+    )
+    valid = face_valid & in_range & (jnp.abs(screen_area) > 1e-6)
+    if cfg.backface_cull:
+        valid = valid & (screen_area * cfg.backface_cull > 0)
     _, _, _, dropped = jax.vmap(
         partial(bin_faces_csr, cfg=cfg, th=cfg.csr_tile_h, tw=cfg.csr_tile_w)
     )(fu, fv, valid)
@@ -531,15 +539,26 @@ def rasterize(
         corners = fattr[..., 0:3]
         corner_colors = fattr[..., 3:6]
     c = cfg.raster_batch_chunk
-    if c and b > c and b % c == 0:
+    if c and b > c:
+        args = (faces, face_valid, poses, kb, corners, corner_colors)
+        n_full = b // c
         rgb, depth = jax.lax.map(
-            lambda args: _rasterize_impl(*args, cfg=cfg),
+            lambda a: _rasterize_impl(*a, cfg=cfg),
             tuple(
-                x.reshape((b // c, c) + x.shape[1:])
-                for x in (faces, face_valid, poses, kb, corners, corner_colors)
+                x[: n_full * c].reshape((n_full, c) + x.shape[1:]) for x in args
             ),
         )
-        return rgb.reshape((b,) + rgb.shape[2:]), depth.reshape((b,) + depth.shape[2:])
+        rgb = rgb.reshape((n_full * c,) + rgb.shape[2:])
+        depth = depth.reshape((n_full * c,) + depth.shape[2:])
+        if b % c:
+            # Remainder sub-batch (its own compiled shape) so chunking
+            # applies to ANY batch size, not just exact multiples.
+            rgb_r, depth_r = _rasterize_impl(
+                *(x[n_full * c:] for x in args), cfg=cfg
+            )
+            rgb = jnp.concatenate([rgb, rgb_r], axis=0)
+            depth = jnp.concatenate([depth, depth_r], axis=0)
+        return rgb, depth
     return _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, cfg=cfg)
 
 

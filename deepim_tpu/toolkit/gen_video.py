@@ -92,18 +92,9 @@ def gen_refine_video(
     import jax.numpy as jnp
 
     from deepim_tpu.data.loader import TestLoader
-    from deepim_tpu.engine.refine import (
-        EngineConfig,
-        MeshBuffers,
-        Observation,
-        refine_step,
-        tune_raster_for_bank,
-    )
+    from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, Observation, refine_step
 
-    ecfg = tune_raster_for_bank(
-        EngineConfig.from_config(cfg, train=False), bank_arrays,
-        cfg.dataset.intrinsic_matrix(),
-    )
+    ecfg = EngineConfig.from_config(cfg, train=False, bank_arrays=bank_arrays)
 
     @jax.jit
     def step(params, obs, meshes, pose):

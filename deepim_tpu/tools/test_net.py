@@ -40,11 +40,7 @@ def test_modelnet(cfg: Config, params, model, batch_size: int = 16) -> dict:
         jnp.asarray(bank.normals),
     )
     records = db.sample_records()
-    from deepim_tpu.engine.refine import tune_raster_for_bank
-    ecfg = tune_raster_for_bank(
-        EngineConfig.from_config(cfg, train=False), bank_arrays,
-        cfg.dataset.intrinsic_matrix(),
-    )
+    ecfg = EngineConfig.from_config(cfg, train=False, bank_arrays=bank_arrays)
     k = jnp.asarray(cfg.dataset.intrinsic_matrix())
 
     @jax.jit

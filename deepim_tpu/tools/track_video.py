@@ -29,13 +29,10 @@ def track_pairdb_sequence(
     import jax.numpy as jnp
 
     from deepim_tpu.data.loader import TestLoader
-    from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, tune_raster_for_bank
+    from deepim_tpu.engine.refine import EngineConfig, MeshBuffers
     from deepim_tpu.engine.tracker import make_tracker
 
-    ecfg = tune_raster_for_bank(
-        EngineConfig.from_config(cfg, train=False), bank_arrays,
-        cfg.dataset.intrinsic_matrix(),
-    )
+    ecfg = EngineConfig.from_config(cfg, train=False, bank_arrays=bank_arrays)
     loader = TestLoader(pairdb, cfg, batch_size=1)
     frames, poses_gt = [], []
     pose0 = None
@@ -101,22 +98,14 @@ def main():
         import jax.numpy as jnp
 
         from deepim_tpu.data.loader import TestLoader
-        from deepim_tpu.engine.refine import (
-            EngineConfig,
-            MeshBuffers,
-            render_at_pose,
-            tune_raster_for_bank,
-        )
+        from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, render_at_pose
         from deepim_tpu.toolkit.gen_video import _edge_overlay, _to_u8, images_to_video
         import cv2
         import os
         import tempfile
 
         bank_arrays = build_mesh_bank(cfg)
-        ecfg = tune_raster_for_bank(
-            EngineConfig.from_config(cfg, train=False), bank_arrays,
-            cfg.dataset.intrinsic_matrix(),
-        )
+        ecfg = EngineConfig.from_config(cfg, train=False, bank_arrays=bank_arrays)
         loader = TestLoader(pairdb, cfg, batch_size=1)
         cls_idx = jnp.asarray([list(db.classes).index(db.cur_class)], jnp.int32)
         meshes = MeshBuffers.gather(bank_arrays, cls_idx)

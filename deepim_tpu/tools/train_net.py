@@ -19,7 +19,7 @@ from deepim_tpu.data.loader import TrainLoader
 from deepim_tpu.data.pairdb import load_gt_pairdb, merge_pairdb
 from deepim_tpu.engine.checkpoint import save_checkpoint, load_checkpoint
 from deepim_tpu.engine.lr_schedule import lr_steps_from_config, warmup_multifactor_schedule
-from deepim_tpu.engine.refine import EngineConfig, tune_raster_for_bank
+from deepim_tpu.engine.refine import EngineConfig
 from deepim_tpu.engine.train import TrainState, make_optimizer, make_train_step
 from deepim_tpu.models import FlowNetDeepIM
 from deepim_tpu.parallel import jit_train_step_dp, make_mesh, replicate_pytree, shard_pytree_batch
@@ -159,10 +159,7 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
         state = load_checkpoint(prefix, begin_epoch, state)
         logger.info("resumed from epoch %d (step %d)", begin_epoch, int(state.step))
 
-    ecfg = tune_raster_for_bank(
-        EngineConfig.from_config(cfg, train=True), bank_arrays,
-        cfg.dataset.intrinsic_matrix(),
-    )
+    ecfg = EngineConfig.from_config(cfg, train=True, bank_arrays=bank_arrays)
     step_fn = make_train_step(model, tx, ecfg, cfg.train_iter, cfg.TRAIN.FLOW_WEIGHT_TYPE)
 
     state_d = replicate_pytree(state, mesh)

@@ -1,0 +1,188 @@
+"""Occlusion benchmark: the 13-class checkpoint evaluated under occlusion.
+
+Builds multi-instance scenes from the SAME 13 procedural classes the
+accuracy benchmark trained on (every scene contains all classes at jittered
+nearby positions, so objects genuinely occlude each other — the
+Occlusion-LINEMOD setting, reference README.md:43-49 /
+assets/LM6d_Occ_results.png), then runs the full per-iteration evaluation
+with the checkpoint from experiments/benchmark_multiclass.py.  The observed
+mask strategy is the occlusion-realistic one: each class sees only its own
+VISIBLE pixels of the shared frame (per-pixel class-id label, as in the
+real LM6d_occ data).
+
+Run AFTER benchmark_multiclass (same --size/--classes/--subdiv):
+  python experiments/benchmark_occlusion.py [--epochs 60] [--n-scenes 32]
+Emits one JSON line + a README-ready table.
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60, help="checkpoint epoch to load")
+    ap.add_argument("--n-scenes", type=int, default=32)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--classes", type=int, default=13)
+    ap.add_argument("--subdiv", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--train-scenes", type=int, default=64,
+                    help="occlusion training scenes (0 = zero-shot eval of the single-object checkpoint)")
+    ap.add_argument("--finetune-epochs", type=int, default=20)
+    ap.add_argument("--train-iter-size", type=int, default=2)
+    args = ap.parse_args()
+
+    from deepim_tpu.config import Config, update_config_dict
+    from deepim_tpu.engine.checkpoint import load_checkpoint
+    from deepim_tpu.engine.train import TrainState
+    from deepim_tpu.render.mesh import make_benchmark_classes
+    from deepim_tpu.render.rasterizer import RasterConfig
+    from deepim_tpu.tools.synth_data import generate_occlusion_dataset
+    from deepim_tpu.tools.test_net import test_deepim
+    from deepim_tpu.tools.train_net import build_model
+
+    h = w = args.size
+    k = np.array([[1.35 * h, 0.0, w / 2], [0.0, 1.35 * h, h / 2], [0.0, 0.0, 1.0]], np.float32)
+    train_devkit = os.path.join(
+        tempfile.gettempdir(), f"bench13_{args.classes}c_{h}_{args.subdiv}"
+    )
+    occ_devkit = train_devkit + "_occ"
+    meshes = make_benchmark_classes(args.classes, subdiv=args.subdiv)
+    classes = sorted(meshes.keys())
+    if not os.path.exists(os.path.join(occ_devkit, "image_set")):
+        print("generating occlusion scenes at", occ_devkit, flush=True)
+        generate_occlusion_dataset(
+            occ_devkit, meshes, k, n_scenes=args.train_scenes + args.n_scenes,
+            n_train=args.train_scenes,
+            # Spread so objects overlap PARTIALLY (the Occlusion-LINEMOD
+            # regime) rather than piling into one heap: at z~0.65 the view
+            # half-width is ~0.24 m and diameters are 0.07-0.19 m.
+            height=h, width=w, z_range=(0.55, 0.75), lateral_spread=0.1,
+            raster_cfg=RasterConfig(height=h, width=w, znear=0.05, zfar=10.0),
+        )
+
+    cfg = update_config_dict(
+        Config(),
+        {
+            "SCALES": [h, w],
+            "output_path": os.path.join(occ_devkit, "output"),
+            "dataset": {
+                "dataset": "LM6D_REFINE", "dataset_path": occ_devkit,
+                "root_path": occ_devkit,
+                "image_set": "train_", "test_image_set": "val_",
+                "model_dir": os.path.join(occ_devkit, "models"),
+                "class_name": classes,
+                "INTRINSIC_MATRIX": k.flatten().tolist(),
+                "NORMALIZE_FLOW": 20.0, "ZNEAR": 0.05, "ZFAR": 10.0,
+            },
+            "network": {
+                "INPUT_MASK": True, "PRED_FLOW": True, "PRED_MASK": True,
+                "PIXEL_MEANS": [123.68, 116.779, 103.939],
+            },
+            "TEST": {"test_iter": 4, "test_epoch": args.epochs,
+                     "FAST_TEST": False, "UPDATE_MASK": "box_rendered",
+                     "INIT_MASK": "box_rendered"},
+        },
+    )
+    model, params = build_model(cfg)
+    run_dir = os.path.join(train_devkit, "run")
+    out_dir = os.path.join(occ_devkit, "run")
+    os.makedirs(out_dir, exist_ok=True)
+    if args.train_scenes:
+        # Fine-tune the single-object checkpoint ON occlusion scenes (the
+        # reference's Occlusion-LINEMOD models likewise train on
+        # multi-object data) by seeding the occlusion run's checkpoint
+        # stream with the bench13 weights and resuming.
+        import shutil
+
+        from deepim_tpu.tools.train_net import train_net
+
+        seed_src = os.path.join(run_dir, f"bench13_ckpt/{args.epochs}")
+        seed_dst = os.path.join(out_dir, f"occ13_ckpt/{args.epochs}")
+        end_epoch = args.epochs + args.finetune_epochs
+        cfg_ft = update_config_dict(
+            cfg,
+            {
+                "network": {"TRAIN_ITER": True, "TRAIN_ITER_SIZE": args.train_iter_size},
+                "train_iter": {
+                    "SE3_PM_LOSS": True, "LW_PM": 1.0, "NUM_3D_SAMPLE": 512,
+                    "LW_FLOW": 0.25, "LW_MASK": 0.01,
+                },
+                "TRAIN": {
+                    "optimizer": "adam", "BATCH_PAIRS": args.batch,
+                    "warmup": True, "warmup_lr": 1e-5, "warmup_step": 50,
+                    "lr": 1e-4, "lr_step": f"{args.epochs + args.finetune_epochs * 3 // 4}",
+                    "grad_clip": 1.0,
+                    "INIT_MASK": "box_gt", "UPDATE_MASK": "box_gt",
+                    "MASK_DILATE": True, "model_prefix": "occ13",
+                    "RESUME": True, "begin_epoch": args.epochs,
+                    "end_epoch": end_epoch,
+                },
+            },
+        )
+        if not os.path.exists(seed_dst):
+            os.makedirs(os.path.dirname(seed_dst), exist_ok=True)
+            shutil.copytree(seed_src, seed_dst)
+        state = train_net(cfg_ft, output_dir=out_dir)
+        cfg = update_config_dict(cfg, {"TEST": {"test_epoch": end_epoch}})
+    else:
+        state = load_checkpoint(os.path.join(run_dir, "bench13"), args.epochs,
+                                TrainState(params, None, 0))
+    cache = os.path.join(out_dir, "results_pose.pkl")
+    if os.path.exists(cache):
+        os.remove(cache)
+    results = test_deepim(cfg, output_dir=out_dir, params=state.params,
+                          batch_size=args.batch)
+
+    # Init-pose baseline over the same pairs (the refined numbers only
+    # mean something next to what the perturbed init already achieves).
+    from deepim_tpu.data.pairdb import load_gt_pairdb
+    from deepim_tpu.eval.evaluator import PoseEvaluator, _add_errors
+
+    init_add, init_proj = [], []
+    for cls in classes:
+        db, pairdb = load_gt_pairdb(
+            cfg, "LM6D_REFINE", "val_" + cls, cls,
+            cfg.dataset.root_path, cfg.dataset.dataset_path,
+        )
+        pts = db.points(cls)
+        pose0 = np.stack([r["pose_rendered"] for r in pairdb]).astype(np.float64)
+        pose_gt = np.stack([r["pose_observed"] for r in pairdb]).astype(np.float64)
+        d = db.diameter(cls)
+        init_add.append(float(np.mean(_add_errors(pose0, pose_gt, pts) < 0.1 * d) * 100))
+        ev = PoseEvaluator([cls], {cls: pts}, {cls: d}, k, 1)
+        arp_res = ev.evaluate_pose_arp_2d([[list(pose0)]], [[list(pose_gt)]])
+        init_proj.append(arp_res[cls][0]["5"])
+    init_row = {"ADD<0.1d": float(np.mean(init_add)),
+                "Proj2D@5px": float(np.mean(init_proj))}
+
+    n_iter = cfg.TEST.test_iter
+    table = [
+        {
+            "ADD<0.1d": float(np.mean([results["add"][c][it]["0.10"] for c in classes])),
+            "ADD auc": float(np.mean([results["add"][c][it]["auc"] for c in classes])),
+            "Proj2D@5px": float(np.mean([results["arp_2d"][c][it]["5"] for c in classes])),
+            "Proj2D auc": float(np.mean([results["arp_2d"][c][it]["auc"] for c in classes])),
+        }
+        for it in range(n_iter)
+    ]
+    print("\nBENCH_OCC_JSON " + json.dumps({"init": init_row, "iters": table}))
+    print("\n==== Occlusion README table (mean over %d classes, %d scenes) ====" % (
+        len(classes), args.n_scenes))
+    print("| iter | ADD(-S)<0.1d | ADD AUC | Proj2D@5px | Proj2D AUC |")
+    print("|---|---|---|---|---|")
+    print("| init | %.1f | - | %.1f | - |" % (init_row["ADD<0.1d"], init_row["Proj2D@5px"]))
+    for it, row in enumerate(table):
+        print("| %d | %.1f | %.1f | %.1f | %.1f |" % (
+            it + 1, row["ADD<0.1d"], row["ADD auc"], row["Proj2D@5px"], row["Proj2D auc"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ def main():
 
     from __graft_entry__ import _build_scene
     from deepim_tpu.render import rasterizer as rz
-    from deepim_tpu.render.pallas_raster import pallas_visibility
+    from deepim_tpu.render.pallas_raster import pallas_visibility_shade
 
     b, h, w = 64, 480, 640
     k_mat = np.array(
@@ -104,12 +104,13 @@ def main():
           f"sum counts = {int(np.asarray(cnt_top).sum())}, max = {int(np.asarray(cnt_top).max())}")
 
     kern = jax.jit(
-        lambda r, c, xy: pallas_visibility(r, c, xy, cfg.tile_h, cfg.tile_w)
+        lambda r, c, xy: pallas_visibility_shade(r, c, xy, cfg.tile_h, cfg.tile_w)
     )
     t_kern = timeit(kern, tile_records, cnt_top, tile_xy)
-    q_t, f_t = kern(tile_records, cnt_top, tile_xy)
-    depth_t = jnp.where(q_t > 0, 1.0 / jnp.where(q_t > 0, q_t, 1.0), 0.0)
-    rgb_t = jnp.zeros(q_t.shape + (3,))
+    q_t, rgbq_t = kern(tile_records, cnt_top, tile_xy)
+    qsafe = jnp.where(q_t > 0, q_t, 1.0)
+    depth_t = jnp.where(q_t > 0, 1.0 / qsafe, 0.0)
+    rgb_t = jnp.where((q_t > 0)[..., None], rgbq_t / qsafe[..., None], 0.0)
 
     @jax.jit
     def stage_untile(rgb_t, depth_t, cnt_top, flat_ids):

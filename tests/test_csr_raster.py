@@ -187,10 +187,12 @@ def test_backface_cull_exact():
 def test_raster_batch_chunk_identical():
     """Sub-batch chunking (lax.map over the batch) is a pure scheduling
     change — outputs must match the single-shot render exactly."""
-    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3), b=4)
+    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3), b=5)
     k = jnp.asarray(K_MAT)
     for base in (BASE, replace(BASE, use_pallas=True, binning="csr")):
         ref = rasterize(verts, cols, faces, fval, pose, k, base)
+        # chunk=2 leaves a remainder sub-batch (5 = 2+2+1): both the mapped
+        # chunks and the remainder path must match the single-shot render.
         chunked = rasterize(verts, cols, faces, fval, pose, k,
                             replace(base, raster_batch_chunk=2))
         np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(chunked[1]))
