@@ -51,7 +51,7 @@ def main() -> None:
     from deepim_tpu.models import FlowNetDeepIM
     from deepim_tpu.ops.masks import box_fill
 
-    b = int(os.environ.get("BENCH_BATCH", "64"))
+    b = int(os.environ.get("BENCH_BATCH", "128"))
     # BENCH_TEXTURE=1: render through the exact per-fragment texture-
     # sampling path (dataset.TEXTURE_SAMPLING / rasterize_textured) instead
     # of vertex-baked colors, to price the fragment-rate texture_gather at
