@@ -77,13 +77,53 @@ def main() -> None:
     )
     # BENCH_BINNING: force 'csr' or 'dense' instead of the F>2048 'auto'
     # rule (A/B the two kernel generations at any mesh scale).
+    # BENCH_CSR_CHUNK / BENCH_RBC / BENCH_CSR_GROUP: A/B the CSR chunk
+    # size, the internal raster batch chunk, and the kernel group size.
+    overrides = {}
     if os.environ.get("BENCH_BINNING"):
+        overrides["binning"] = os.environ["BENCH_BINNING"]
+    if os.environ.get("BENCH_CSR_CHUNK"):
+        overrides["csr_chunk"] = int(os.environ["BENCH_CSR_CHUNK"])
+    if os.environ.get("BENCH_RBC"):
+        overrides["raster_batch_chunk"] = int(os.environ["BENCH_RBC"])
+    if os.environ.get("BENCH_CSR_GROUP"):
+        overrides["csr_group"] = int(os.environ["BENCH_CSR_GROUP"])
+    if overrides:
         import dataclasses
 
         ecfg = dataclasses.replace(
-            ecfg,
-            raster=dataclasses.replace(ecfg.raster, binning=os.environ["BENCH_BINNING"]),
+            ecfg, raster=dataclasses.replace(ecfg.raster, **overrides)
         )
+    # Validate the CSR pair budget for THIS scene before timing anything:
+    # the in-jit dropped-pair warning needs host callbacks (unavailable on
+    # the tunneled TPU), so a forced-CSR config with an under-sized budget
+    # (e.g. BENCH_BINNING=csr BENCH_DETAIL=2) would otherwise time a render
+    # with silent holes.  csr_dropped_pairs exists for exactly this check.
+    rcfg = ecfg.raster
+    if rcfg.use_pallas and (
+        rcfg.binning == "csr"
+        or (rcfg.binning == "auto" and meshes.faces.shape[1] > 2048)
+    ):
+        from deepim_tpu.render.rasterizer import csr_dropped_pairs
+
+        ndrop = int(
+            csr_dropped_pairs(
+                meshes.vertices, meshes.faces, meshes.face_valid,
+                jnp.asarray(pose0), jnp.asarray(k_mat), rcfg,
+            )
+        )
+        if ndrop > 0:
+            print(
+                json.dumps(
+                    {
+                        "error": "CSR pair budget drops %d face-tile pairs for "
+                        "this scene - the timed render would have holes; raise "
+                        "BENCH_PPF or use BENCH_BINNING=dense" % ndrop
+                    }
+                )
+            )
+            raise SystemExit(1)
+
     # FAST_TEST protocol: the reference's shipped eval configs run with
     # TEST.FAST_TEST=True + UPDATE_MASK='box_rendered', which drops the flow
     # decoder and mask head from the test graph (deepIM_flownet.py:624-676)

@@ -165,8 +165,18 @@ def tune_raster_for_bank(
     corners = np.take_along_axis(
         verts, faces.reshape(faces.shape[0], -1)[..., None], axis=1
     ).reshape(faces.shape[0], f_padded, 3, 3)
-    spread = (corners.max(axis=2) - corners.min(axis=2)).max(axis=-1)  # (C, F)
-    d = float(spread[fvalid].max()) if fvalid.any() else 0.0
+    # True max pairwise corner distance (the rotation-invariant face
+    # diameter): per-axis spread under-estimates the camera-plane extent of
+    # a diagonal face by up to sqrt(3), which made the budget bound only
+    # empirically (not provably) conservative.
+    diam = np.maximum(
+        np.linalg.norm(corners[:, :, 0] - corners[:, :, 1], axis=-1),
+        np.maximum(
+            np.linalg.norm(corners[:, :, 1] - corners[:, :, 2], axis=-1),
+            np.linalg.norm(corners[:, :, 2] - corners[:, :, 0], axis=-1),
+        ),
+    )  # (C, F)
+    d = float(diam[fvalid].max()) if fvalid.any() else 0.0
     if k is not None:
         kk = np.asarray(k, np.float32).reshape(3, 3)
         fx, fy = float(kk[0, 0]), float(kk[1, 1])

@@ -114,7 +114,8 @@ def _tile_kernel(counts_ref, txy_ref, rec_ref, out_ref, *, tile_h, tile_w, sub, 
     out_ref[0, 3, :] = b.reshape(p)
 
 
-def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_ref, out_ref,
+def _csr_chunk_kernel(nh_ref, init_ref, fin_ref, row_ref, x0_ref, y0_ref, blk_ref,
+                      rec_ref, out_ref, acc_ref,
                       *, tile_h, tile_w, sub, lanes, ch):
     """CSR path: one grid step = one CH-face chunk of one tile's segment,
     EIGHT faces per unrolled step packed across sublanes x the tile's 128
@@ -126,14 +127,20 @@ def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_re
     (ch/8 steps) with a per-step liveness mask — no fori bookkeeping.
 
     Per-chunk scalar-prefetch arrays (1-D int32): nh = faces in this chunk,
-    init = 1 for the first chunk of its tile, row = output row (trash row
-    for empty chunks), x0/y0 = tile pixel origin.
+    init = 1 for the first chunk of its tile, fin = 1 for the last chunk of
+    its tile within this group, row = output row (only read on fin chunks;
+    trash row otherwise), x0/y0 = tile pixel origin.
     rec_ref: (CH, 32) VMEM block (vector slices, NOT scalar reads).
-    out_ref: (1, 40, P) accumulator — rows [0:8] per-slot zq, [8:16]
-    per-slot winning fid, [16:24]/[24:32]/[32:40] per-slot r*q/g*q/b*q.
-    Slot s holds the z-winner among faces s, s+8, s+16, ... of the tile's
-    segment; the caller merges the 8 slots (and groups) with the
-    (qi, -fid) comparator, which restores exact draw-order tie handling.
+    acc_ref: (40, P) VMEM scratch, persistent across the sequential grid —
+    rows [0:8] per-slot zq, [8:16] per-slot winning fid, [16:24]/[24:32]/
+    [32:40] per-slot r*q/g*q/b*q.  Slot s holds the z-winner among faces
+    s, s+8, s+16, ... of the tile's segment.
+    out_ref: (1, 8, P) — on a fin chunk the 8 slots are tree-merged
+    IN-KERNEL with the (qi, -fid) comparator (which restores exact
+    draw-order tie handling) and rows [qi, fid, r*q, g*q, b*q, 0, 0, 0]
+    are emitted; non-fin chunks flush garbage to the caller's trash row.
+    Merging here (vs a separate XLA pass over (W, 40, P)) writes 5x less
+    kernel output to HBM and deletes a full read-modify-write pass.
     """
     s = pl.program_id(0)
     n_here = nh_ref[s]
@@ -148,20 +155,20 @@ def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_re
 
     @pl.when(init_ref[s] == 1)
     def _():
-        out_ref[0, 0:8, :] = jnp.full((8, lanes), _NEG, jnp.float32)
-        out_ref[0, 8:16, :] = jnp.full((8, lanes), _BIG, jnp.float32)
-        out_ref[0, 16:40, :] = jnp.zeros((24, lanes), jnp.float32)
+        acc_ref[0:8, :] = jnp.full((8, lanes), _NEG, jnp.float32)
+        acc_ref[8:16, :] = jnp.full((8, lanes), _BIG, jnp.float32)
+        acc_ref[16:40, :] = jnp.zeros((24, lanes), jnp.float32)
 
     # Junk chunks (group padding past the frame's real chunk count) carry
     # n_here = 0: predicate the whole unrolled loop off so they cost only
     # the grid step, not 16 masked vector passes.
     @pl.when(n_here > 0)
     def _():
-        zq = out_ref[0, 0:8, :]
-        fb = out_ref[0, 8:16, :]
-        r = out_ref[0, 16:24, :]
-        g = out_ref[0, 24:32, :]
-        b = out_ref[0, 32:40, :]
+        zq = acc_ref[0:8, :]
+        fb = acc_ref[8:16, :]
+        r = acc_ref[16:24, :]
+        g = acc_ref[24:32, :]
+        b = acc_ref[32:40, :]
 
         for i in range(ch // 8):
             rec8 = rec_ref[i * 8:(i + 1) * 8, :]  # (8, 32): 8 faces, static slice
@@ -191,17 +198,47 @@ def _csr_chunk_kernel(nh_ref, init_ref, row_ref, x0_ref, y0_ref, blk_ref, rec_re
             g = jnp.where(upd, gg, g)
             b = jnp.where(upd, bb, b)
 
-        out_ref[0, 0:8, :] = zq
-        out_ref[0, 8:16, :] = fb
-        out_ref[0, 16:24, :] = r
-        out_ref[0, 24:32, :] = g
-        out_ref[0, 32:40, :] = b
+        acc_ref[0:8, :] = zq
+        acc_ref[8:16, :] = fb
+        acc_ref[16:24, :] = r
+        acc_ref[24:32, :] = g
+        acc_ref[32:40, :] = b
+
+    # Final chunk of this tile (within this group): tree-merge the 8 slots
+    # by (max qi, then min fid) — associative, so 3 halving passes — and
+    # emit the merged row.
+    @pl.when(fin_ref[s] == 1)
+    def _():
+        q = acc_ref[0:8, :]
+        f = acc_ref[8:16, :]
+        r = acc_ref[16:24, :]
+        g = acc_ref[24:32, :]
+        b = acc_ref[32:40, :]
+        n = 8
+        while n > 1:
+            h = n // 2
+            qa, qb = q[:h], q[h:n]
+            fa, fb_ = f[:h], f[h:n]
+            upd = (qb > qa) | ((qb == qa) & (fb_ < fa))
+            q = jnp.where(upd, qb, qa)
+            f = jnp.where(upd, fb_, fa)
+            r = jnp.where(upd, r[h:n], r[:h])
+            g = jnp.where(upd, g[h:n], g[:h])
+            b = jnp.where(upd, b[h:n], b[:h])
+            n = h
+        out_ref[0, 0:1, :] = q
+        out_ref[0, 1:2, :] = f
+        out_ref[0, 2:3, :] = r
+        out_ref[0, 3:4, :] = g
+        out_ref[0, 4:5, :] = b
+        out_ref[0, 5:8, :] = jnp.zeros((3, lanes), jnp.float32)
 
 
 def pallas_csr_group(
     rec_group: jax.Array,   # (S_G * ch, 32) per-chunk face records, chunk-major
     nh_g: jax.Array,        # (S_G,) int32 faces in each chunk
     init_g: jax.Array,      # (S_G,) int32 1 = first chunk of its tile
+    fin_g: jax.Array,       # (S_G,) int32 1 = last chunk of its tile (in group)
     row_g: jax.Array,       # (S_G,) int32 output row (w_items = trash)
     x0_g: jax.Array,        # (S_G,) int32 tile pixel origin x
     y0_g: jax.Array,        # (S_G,) int32 tile pixel origin y
@@ -212,14 +249,18 @@ def pallas_csr_group(
     interpret: bool = False,
 ):
     """One group of the CSR z-buffer grid: a 1-D grid over S_G face chunks,
-    accumulating per-slot (zq, fid, rgb*q) into (w_items + 1, 40, P) output
-    rows (row w_items = trash for empty chunks).
+    accumulating per-slot (zq, fid, rgb*q) in persistent VMEM scratch and
+    emitting slot-MERGED rows [qi, fid, r*q, g*q, b*q, 0, 0, 0] into the
+    (w_items + 1, 8, P) output on each tile's final chunk (row w_items =
+    trash for non-final/empty chunks).
 
     The caller (rasterizer.rasterize) assembles the per-group record block,
     scans groups under lax.cond (groups past the real chunk count are
     skipped at RUNTIME — the static grid covers the worst-case pair budget,
-    the executed work scales with the actual overlaps), merges the 8 slots,
-    and z-merges group outputs with the same (qi, -fid) comparator.
+    the executed work scales with the actual overlaps), and z-merges group
+    outputs with the same (qi, -fid) comparator (exact for tiles split
+    across groups: the caller forces fin on each group's last chunk and
+    init on the next group's first).
     """
     s_g = nh_g.shape[0]
     assert rec_group.shape[0] == s_g * ch, (rec_group.shape, s_g, ch)
@@ -233,51 +274,31 @@ def pallas_csr_group(
     last_real = jnp.maximum(jnp.max(jnp.where(nh_g > 0, ids, 0)), 0)
     blk_g = jnp.where(nh_g > 0, ids, last_real)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(s_g,),
         in_specs=[
             pl.BlockSpec(
                 (ch, REC_WIDTH),
-                lambda s, nh, ini, row, x0, y0, blk: (blk[s], 0),
+                lambda s, nh, ini, fin, row, x0, y0, blk: (blk[s], 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 40, p),
-            lambda s, nh, ini, row, x0, y0, blk, w=w_items: (jnp.minimum(row[s], w), 0, 0),
+            (1, 8, p),
+            lambda s, nh, ini, fin, row, x0, y0, blk, w=w_items: (
+                jnp.where(fin[s] == 1, jnp.minimum(row[s], w), w), 0, 0
+            ),
         ),
+        scratch_shapes=[pltpu.VMEM((40, p), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(
             _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=8, lanes=p, ch=ch
         ),
-        out_shape=jax.ShapeDtypeStruct((w_items + 1, 40, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((w_items + 1, 8, p), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(nh_g, init_g, row_g, x0_g, y0_g, blk_g, rec_group)[:w_items]
-
-
-def merge_slots(out: jax.Array):
-    """(W, 40, P) per-slot kernel output -> (best_q, best_f, rq, gq, bq),
-    each (W, P), by the (qi, -fid) comparator.
-
-    The comparator (max qi, then min fid) is associative, so the 8 slots
-    reduce in a binary tree: 3 vectorized passes over halved slot axes
-    instead of 7 sequential compare-selects."""
-    q = out[:, 0:8, :]
-    f = out[:, 8:16, :]
-    rgb = [out[:, 16 + 8 * c:24 + 8 * c, :] for c in range(3)]
-    n = 8
-    while n > 1:
-        h = n // 2
-        qa, qb = q[:, :h, :], q[:, h:n, :]
-        fa, fb_ = f[:, :h, :], f[:, h:n, :]
-        upd = (qb > qa) | ((qb == qa) & (fb_ < fa))
-        q = jnp.where(upd, qb, qa)
-        f = jnp.where(upd, fb_, fa)
-        rgb = [jnp.where(upd, c[:, h:n, :], c[:, :h, :]) for c in rgb]
-        n = h
-    return q[:, 0, :], f[:, 0, :], rgb[0][:, 0, :], rgb[1][:, 0, :], rgb[2][:, 0, :]
+    )(nh_g, init_g, fin_g, row_g, x0_g, y0_g, blk_g, rec_group)[:w_items]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))

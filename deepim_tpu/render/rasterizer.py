@@ -110,10 +110,15 @@ class RasterConfig:
     # sizes the budget so production meshes never truncate).
     bin_pairs: int = 0
     # csr fine-tile shape; the product must be exactly 128 (one lane block).
-    csr_tile_h: int = 8
-    csr_tile_w: int = 16
-    # csr chunk length (faces per kernel grid step); multiple of 8.
-    csr_chunk: int = 128
+    # 16x8 measured ~4% faster than 8x16 at LINEMOD scale (fewer horizontal
+    # bbox splits for the ~2 px faces; experiments/ab_raster.py, r4).
+    csr_tile_h: int = 16
+    csr_tile_w: int = 8
+    # csr chunk length (faces per kernel grid step); multiple of 8.  64
+    # halves the per-tile chunk padding the record gather pays vs 128
+    # (avg tile counts are ~100-200 at LINEMOD density); 32 doubles the
+    # grid overhead and loses (ab_raster.py, r4).
+    csr_chunk: int = 64
     # Chunks per pallas_call in the csr path.  The grid's static size covers
     # the worst-case pair budget; groups past the frame's ACTUAL chunk count
     # are skipped at runtime (lax.cond), so only the groups with real work
@@ -122,7 +127,7 @@ class RasterConfig:
     # the csr path's main XLA-side cost; a group gathers its FULL slab of
     # csr_group * csr_chunk rows whenever any of its chunks is real);
     # larger groups amortize pallas_call launches.
-    csr_group: int = 512
+    csr_group: int = 1024
 
     @property
     def tiles_y(self) -> int:
@@ -311,12 +316,21 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
     hi_n = -(-n_tiles // 64)
     tile_flat = tile.reshape(n)
     ok_flat = pair_ok.reshape(n)
-    oh_hi = ((tile_flat[:, None] // 64 == jnp.arange(hi_n, dtype=jnp.int32)[None, :])
-             & ok_flat[:, None]).astype(jnp.int8)
-    oh_lo = (tile_flat[:, None] % 64 == jnp.arange(64, dtype=jnp.int32)[None, :]).astype(jnp.int8)
-    counts2d = jax.lax.dot_general(
-        oh_hi, oh_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )  # (hi_n, 64)
+    # Slab the one-hot operands over the pair axis: a single (n, hi_n + 64)
+    # int8 pass at tuner-sized budgets (multi-M pairs) can demand GBs of
+    # transient HBM; 256k-pair slabs bound the working set and the int32
+    # accumulation across slabs stays exact.
+    slab = 1 << 18
+    counts2d = jnp.zeros((hi_n, 64), jnp.int32)
+    for st in range(0, n, slab):
+        tf = tile_flat[st:min(st + slab, n)]
+        okf = ok_flat[st:min(st + slab, n)]
+        oh_hi = ((tf[:, None] // 64 == jnp.arange(hi_n, dtype=jnp.int32)[None, :])
+                 & okf[:, None]).astype(jnp.int8)
+        oh_lo = (tf[:, None] % 64 == jnp.arange(64, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+        counts2d = counts2d + jax.lax.dot_general(
+            oh_hi, oh_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )  # (hi_n, 64)
     # No K clip: CSR segments are exact-packed, so the per-tile face budget
     # is the pair budget itself (the dense path's K cap would silently drop
     # faces on dense meshes — at LINEMOD density most covered tiles overflow
@@ -424,8 +438,12 @@ def build_face_records(fu, fv, fq, fcol, valid):
         a, b, c0 = attr_plane(fcol[:, :, ch] * fq)
         cols += [a, b, c0]
     # Stack directly in (N, 25) row layout: XLA fuses the column writes
-    # into one relayout pass (a lane-major (25, N) build + explicit
-    # transpose measured ~2x slower at LINEMOD scale).
+    # into one relayout pass.  Two rejected alternatives (measured end-to-
+    # end at LINEMOD scale, r3/r4): a lane-major (25, N) build + explicit
+    # transpose (~2x slower), and an MXU one-hot transpose
+    # ((25, N)^T @ eye — 35% faster in ISOLATION but 171 -> 130 f/s in the
+    # full bench: the dot forces the 25 column computations to materialize
+    # instead of fusing into the stack's relayout pass).
     rec = jnp.stack(cols, axis=1)  # (N, 25)
     return jnp.pad(rec, ((0, 0), (0, 32 - rec.shape[1])))
 
@@ -564,6 +582,14 @@ def rasterize(
 
 def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg):
     b, nf, _ = faces.shape
+    # Global face ids ride the record table as float32 (exact only below
+    # 2^24); past that, exact z-ties could merge to the wrong face.  Fail
+    # loudly — raster_batch_chunk caps the per-call batch.
+    assert b * nf < (1 << 24), (
+        f"batch {b} x {nf} padded faces overflows the float32 face-id range "
+        "(2^24); set RasterConfig.raster_batch_chunk to bound the per-call "
+        "batch"
+    )
     use_csr = cfg.use_pallas and (
         cfg.binning == "csr" or (cfg.binning == "auto" and nf > 2048)
     )
@@ -664,7 +690,7 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
     py = jnp.broadcast_to(py, (w_items, p))
 
     if use_csr:
-        from deepim_tpu.render.pallas_raster import merge_slots, pallas_csr_group
+        from deepim_tpu.render.pallas_raster import pallas_csr_group
 
         ch = cfg.csr_chunk
         n_pairs = sorted_face.shape[1]
@@ -714,6 +740,16 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                 # chunk (the z-merge below combines the halves).  A no-op
                 # for group 0, whose first chunk opens its tile anyway.
                 init_g = init_g.at[0].set(1)
+                # Last chunk of its tile within this group: the kernel
+                # merges its 8 slots in-kernel and emits the tile's row.
+                # Force fin on the group's final chunk (mirror of the
+                # forced init above) so a tile split across groups emits
+                # its first half for the cross-group z-merge.
+                w_next = jnp.roll(w_g, -1)
+                nh_next = jnp.roll(nh_g, -1)
+                fin_g = ((nh_g > 0) & ((w_next != w_g) | (nh_next == 0)))
+                fin_g = fin_g.at[group - 1].set(nh_g[group - 1] > 0)
+                fin_g = fin_g.astype(jnp.int32)
                 row_g = jnp.where(nh_g > 0, w_g, w_items)
                 x0_g = (tile_of[w_g] % t_x) * tw
                 y0_g = (tile_of[w_g] // t_x) * th
@@ -731,19 +767,22 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                 fg = (sample_of[w_g] * nf)[:, None] + jnp.minimum(sf, nf - 1)
                 rec = records[fg.reshape(-1)]  # (G*CH, 32)
                 out = pallas_csr_group(
-                    rec, nh_g, init_g, row_g, x0_g, y0_g,
+                    rec, nh_g, init_g, fin_g, row_g, x0_g, y0_g,
                     w_items, th, tw, ch=ch, interpret=interpret,
-                )
-                g_q, g_f, g_r, g_g, g_b = merge_slots(out)
+                )  # (W, 8, P) slot-merged rows [qi, fid, r*q, g*q, b*q, ...]
+                g_q = out[:, 0, :]
+                g_f = out[:, 1, :]
                 # Rows this group touched: [w of first chunk, w of last real
-                # chunk]; merge by the (z, -fid) test (exact for split
-                # tiles).
+                # chunk]; the work list is count-sorted so every row in the
+                # range has cnt > 0 and exactly one fin chunk in this group
+                # (split tiles get a forced fin).  Merge by the (z, -fid)
+                # test (exact for split tiles).
                 w_hi = jnp.max(jnp.where(nh_g > 0, row_g, -1))
                 touched = (rows >= w_g[0]) & (rows <= w_hi)
                 upd = touched[:, None] & (
                     (g_q > zq_acc) | ((g_q == zq_acc) & (g_f < fid_acc))
                 )
-                g_rgb = jnp.stack([g_r, g_g, g_b], axis=-1)
+                g_rgb = jnp.moveaxis(out[:, 2:5, :], 1, 2)
                 return (
                     jnp.where(upd, g_q, zq_acc),
                     jnp.where(upd, g_f, fid_acc),

@@ -28,7 +28,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def bench_size(n_dev: int, per_dev_batch: int, h: int, w: int, steps: int, train: bool):
+def bench_size(n_dev: int, per_dev_batch: int, h: int, w: int, steps: int, train: bool,
+               mesh_detail: int = 2):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,7 +61,9 @@ def bench_size(n_dev: int, per_dev_batch: int, h: int, w: int, steps: int, train
         [[1.25 * w, 0, w / 2], [0, 1.25 * w, h / 2], [0, 0, 1]], np.float32
     )
     ecfg, bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = _build_scene(
-        b, h, w, k_mat, num_iters=4, update_mask="box_rendered" if not train else "box_gt"
+        b, h, w, k_mat, num_iters=4,
+        update_mask="box_rendered" if not train else "box_gt",
+        mesh_detail=mesh_detail,
     )
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     full_model = FlowNetDeepIM(pred_flow=True, pred_mask=True, dtype=dtype)
@@ -131,6 +134,10 @@ def main():
     ap.add_argument("--sizes", default=None, help="comma list, default 1..n_devices pow2")
     ap.add_argument("--train", action="store_true", help="bench the train step instead of eval refine")
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
+    ap.add_argument("--mesh-detail", type=int, default=2,
+                    help="icosphere subdivision of the scene meshes: 2 = "
+                    "~320 faces (light), 5 = 20,480 faces (LINEMOD scale). "
+                    "Every emitted row records the resulting face count.")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument(
         "--cpu-mesh", action="store_true",
@@ -160,8 +167,10 @@ def main():
     plumbing_only = jax.default_backend() == "cpu"
     results = []
     for n in sizes:
-        r = bench_size(n, args.per_device_batch, args.hw[0], args.hw[1], args.steps, args.train)
+        r = bench_size(n, args.per_device_batch, args.hw[0], args.hw[1], args.steps,
+                       args.train, mesh_detail=args.mesh_detail)
         r["plumbing_only"] = plumbing_only
+        r["faces_per_mesh"] = 20 * 4 ** args.mesh_detail
         results.append(r)
         print(json.dumps(r), flush=True)
     base = results[0]["frames_per_s"]

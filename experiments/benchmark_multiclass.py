@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--subdiv", type=int, default=3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--train-iter-size", type=int, default=2,
+                    help="iterated-training depth; 4 = the reference's RFMx4 "
+                    "protocol (deepim_flownet_LM_SIXD_v1_..._RFMx4_8epoch.yaml:58)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--test-only", action="store_true")
     ap.add_argument("--resume-epoch", type=int, default=0,
@@ -75,7 +78,7 @@ def main():
             },
             "network": {
                 "INPUT_MASK": True, "PRED_FLOW": True, "PRED_MASK": True,
-                "TRAIN_ITER": True, "TRAIN_ITER_SIZE": 2,
+                "TRAIN_ITER": True, "TRAIN_ITER_SIZE": args.train_iter_size,
                 "PIXEL_MEANS": [123.68, 116.779, 103.939],
             },
             "train_iter": {

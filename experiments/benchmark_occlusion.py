@@ -36,7 +36,15 @@ def main():
     ap.add_argument("--train-scenes", type=int, default=64,
                     help="occlusion training scenes (0 = zero-shot eval of the single-object checkpoint)")
     ap.add_argument("--finetune-epochs", type=int, default=20)
-    ap.add_argument("--train-iter-size", type=int, default=2)
+    ap.add_argument("--train-iter-size", type=int, default=4,
+                    help="4 = the reference's RFMx4 protocol: the network "
+                    "fine-tunes on its own iterated-mask distribution")
+    ap.add_argument("--ft-mask", default="box_rendered",
+                    choices=["box_rendered", "box_gt"],
+                    help="fine-tune INIT/UPDATE mask strategy.  box_rendered "
+                    "matches what the TEST loop feeds the network after "
+                    "iteration 1 (round-3's box_gt fine-tune never saw the "
+                    "test-time mask distribution and collapsed at iter>=2)")
     args = ap.parse_args()
 
     from deepim_tpu.config import Config, update_config_dict
@@ -120,7 +128,7 @@ def main():
                     "warmup": True, "warmup_lr": 1e-5, "warmup_step": 50,
                     "lr": 1e-4, "lr_step": f"{args.epochs + args.finetune_epochs * 3 // 4}",
                     "grad_clip": 1.0,
-                    "INIT_MASK": "box_gt", "UPDATE_MASK": "box_gt",
+                    "INIT_MASK": args.ft_mask, "UPDATE_MASK": args.ft_mask,
                     "MASK_DILATE": True, "model_prefix": "occ13",
                     "RESUME": True, "begin_epoch": args.epochs,
                     "end_epoch": end_epoch,

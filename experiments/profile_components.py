@@ -1,5 +1,5 @@
 """Per-component timing of the refinement hot path on the real chip:
-rasterize / zoom / network forward / full refine step, batch 64 @480x640.
+rasterize / zoom / network forward / full refine step @480x640.
 
 Not part of the test suite; a development diagnostic.
 """
@@ -24,6 +24,14 @@ def timeit(fn, *args, n=10):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--detail", type=int, default=2)
+    ap.add_argument("--active", type=int, default=32)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,13 +43,13 @@ def main():
     from deepim_tpu.ops.masks import box_fill
     from deepim_tpu.ops.zoom import zoom_factor_from_masks, zoom_images, zoom_masks
 
-    b, h, w = 64, 480, 640
+    b, h, w = args.batch, 480, 640
     k_mat = np.array(
         [[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]],
         np.float32,
     )
     ecfg, bank_arrays, cls_idx, meshes, pose_gt, pose0, img, depth, mask = _build_scene(
-        b, h, w, k_mat, num_iters=4
+        b, h, w, k_mat, num_iters=4, mesh_detail=args.detail, active_tiles=args.active
     )
     full = FlowNetDeepIM(pred_flow=True, pred_mask=True, dtype=jnp.bfloat16)
     params = full.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 8)))
@@ -51,11 +59,11 @@ def main():
         depth_observed=None, k=jnp.asarray(k_mat),
     )
 
-    raster = jax.jit(lambda p: render_at_pose(meshes, p, obs.k, ecfg))
-    t_raster = timeit(raster, pose0)
+    raster = jax.jit(lambda m, p: render_at_pose(m, p, obs.k, ecfg))
+    t_raster = timeit(raster, meshes, pose0)
     print(f"rasterize+mask      : {t_raster*1e3:8.2f} ms  ({b/t_raster:8.1f} renders/s)")
 
-    img_r, depth_r, mask_r = raster(pose0)
+    img_r, depth_r, mask_r = raster(meshes, pose0)
 
     def zoom_fn(pose, img_obs, img_r, mask_r):
         mo = box_fill(mask_r)
@@ -80,15 +88,17 @@ def main():
     t_netf = timeit(fwd_full, params, x)
     print(f"net fwd (full)      : {t_netf*1e3:8.2f} ms")
 
-    step = jax.jit(lambda p, pose: refine_step(p, model, obs, meshes, pose, ecfg)[0])
-    t_step = timeit(step, params, pose0)
+    # obs/meshes enter as jit ARGUMENTS: closed-over scene constants get
+    # serialized into the remote-compile payload (HTTP 413 at batch >= 64).
+    step = jax.jit(lambda p, o, m, pose: refine_step(p, model, o, m, pose, ecfg)[0])
+    t_step = timeit(step, params, obs, meshes, pose0)
     print(f"refine_step (1 iter): {t_step*1e3:8.2f} ms")
 
     t_sum = t_raster + t_zoom + t_net
     print(f"sum raster+zoom+net : {t_sum*1e3:8.2f} ms")
 
-    run4 = jax.jit(lambda p, pose: refine(p, model, obs, meshes, pose, ecfg)[0])
-    t4 = timeit(run4, params, pose0)
+    run4 = jax.jit(lambda p, o, m, pose: refine(p, model, o, m, pose, ecfg)[0])
+    t4 = timeit(run4, params, obs, meshes, pose0)
     print(f"refine x4           : {t4*1e3:8.2f} ms  ({b/t4:8.1f} frames/s)")
 
 

@@ -39,7 +39,7 @@ def main():
 
     from __graft_entry__ import _build_scene
     from deepim_tpu.render import rasterizer as rz
-    from deepim_tpu.render.pallas_raster import merge_slots, pallas_csr_group
+    from deepim_tpu.render.pallas_raster import pallas_csr_group
 
     b, h, w = args.batch, 480, 640
     k_mat = np.array(
@@ -127,6 +127,10 @@ def main():
         c_of_s = s_ids_g - (chunk_csum[w_g] - chunks_w[w_g])
         nh_g = jnp.clip(cnt[w_g] - c_of_s * ch, 0, ch)
         init_g = (c_of_s == 0).astype(jnp.int32).at[0].set(1)
+        w_next = jnp.roll(w_g, -1)
+        nh_next = jnp.roll(nh_g, -1)
+        fin_g = ((nh_g > 0) & ((w_next != w_g) | (nh_next == 0)))
+        fin_g = fin_g.at[group - 1].set(nh_g[group - 1] > 0).astype(jnp.int32)
         row_g = jnp.where(nh_g > 0, w_g, w_items)
         x0_g = (tile_of[w_g] % t_x) * tw
         y0_g = (tile_of[w_g] // t_x) * th
@@ -135,20 +139,17 @@ def main():
         sf = jax.vmap(lambda st: jax.lax.dynamic_slice(sff, (st,), (ch,)))(start_g)
         fg = (sample_of[w_g] * nf)[:, None] + jnp.minimum(sf, nf - 1)
         rec = records[fg.reshape(-1)]
-        return rec, nh_g, init_g, row_g, x0_g, y0_g
+        return rec, nh_g, init_g, fin_g, row_g, x0_g, y0_g
 
     print(f"group0 inputs(gather): {timeit(stage_group0_inputs, w_of_s, chunk_csum, chunks_w, cnt, seg_off, sample_of, tile_of, sorted_face, records, n=args.n)*1e3:8.2f} ms")
-    rec, nh_g, init_g, row_g, x0_g, y0_g = stage_group0_inputs(
+    rec, nh_g, init_g, fin_g, row_g, x0_g, y0_g = stage_group0_inputs(
         w_of_s, chunk_csum, chunks_w, cnt, seg_off, sample_of, tile_of, sorted_face, records
     )
 
-    kern = jax.jit(lambda rec, nh, ini, row, x0, y0: pallas_csr_group(
-        rec, nh, ini, row, x0, y0, w_items, th, tw, ch=ch))
-    print(f"kernel(group0): {timeit(kern, rec, nh_g, init_g, row_g, x0_g, y0_g, n=args.n)*1e3:8.2f} ms")
-    out = kern(rec, nh_g, init_g, row_g, x0_g, y0_g)
-
-    mrg = jax.jit(lambda out: merge_slots(out))
-    print(f"merge_slots: {timeit(mrg, out, n=args.n)*1e3:8.2f} ms")
+    kern = jax.jit(lambda rec, nh, ini, fin, row, x0, y0: pallas_csr_group(
+        rec, nh, ini, fin, row, x0, y0, w_items, th, tw, ch=ch))
+    print(f"kernel(group0, in-kernel merge): {timeit(kern, rec, nh_g, init_g, fin_g, row_g, x0_g, y0_g, n=args.n)*1e3:8.2f} ms")
+    out = kern(rec, nh_g, init_g, fin_g, row_g, x0_g, y0_g)
 
     # --- isolation: what does a row gather actually cost on this chip? ---
     n_rows = records.shape[0]

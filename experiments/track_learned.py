@@ -126,6 +126,8 @@ def main():
     )
     poses_est = np.asarray(poses_est)  # (T, B, 3, 4)
 
+    from deepim_tpu.eval.evaluator import _adi_errors
+
     rows = []
     for i, cls in enumerate(classes):
         pts = mesh_list[i].vertices
@@ -137,6 +139,18 @@ def main():
             np.tile(pose0[i][None], (t_frames, 1, 1)).astype(np.float64),
             poses_gt[:, i].astype(np.float64), pts,
         )
+        # Failure-mode decomposition (round-3's obj00 never locked): split
+        # the pose error into rotation (geodesic deg), translation (m), and
+        # ADI (closest-point — insensitive to appearance symmetry).  A class
+        # with small trans + ADI error but large rot/ADD error is tracking
+        # the SHAPE fine while the rotation is visually unobservable.
+        re = poses_est[:, i, :, :3] @ np.transpose(poses_gt[:, i, :, :3], (0, 2, 1))
+        tr = np.clip((np.trace(re, axis1=1, axis2=2) - 1) / 2, -1, 1)
+        rot_deg = np.degrees(np.arccos(tr))
+        trans_m = np.linalg.norm(poses_est[:, i, :, 3] - poses_gt[:, i, :, 3], axis=1)
+        adi = _adi_errors(
+            poses_est[:, i].astype(np.float64), poses_gt[:, i].astype(np.float64), pts
+        )
         rows.append({
             "class": cls,
             "add_lt_0.1d_pct": float(np.mean(add < 0.1 * d) * 100),
@@ -144,6 +158,11 @@ def main():
             "max_add_over_d": float(np.max(add / d)),
             "final_add_over_d": float(add[-1] / d),
             "frame0_init_add_over_d": float(add_init[0] / d),
+            "adi_lt_0.1d_pct": float(np.mean(adi < 0.1 * d) * 100),
+            "mean_adi_over_d": float(np.mean(adi / d)),
+            "mean_rot_deg": float(np.mean(rot_deg)),
+            "final_rot_deg": float(rot_deg[-1]),
+            "mean_trans_over_d": float(np.mean(trans_m / d)),
         })
     summary = {
         "frames": t_frames,
