@@ -95,6 +95,12 @@ class TrainConfig:
     # never needs it); required for stable from-scratch training.
     grad_clip: float = 0.0
     model_prefix: str = "deepim"
+    # Save a checkpoint every N epochs (the final epoch always saves).  Not
+    # in the reference (module.py saves per epoch); on backends where a
+    # host round-trip of the full train state is expensive (tunneled TPU:
+    # ~20 s for FlowNetS + Adam state) per-epoch saving can dominate short
+    # epochs.
+    CHECKPOINT_INTERVAL: int = 1
     RESUME: bool = False
     SHUFFLE: bool = True
     BATCH_PAIRS: int = 1

@@ -34,7 +34,12 @@ from typing import Any, Iterator
 import numpy as np
 
 from deepim_tpu.config import Config
-from deepim_tpu.data.preprocess import VOCBackgrounds, make_test_sample, make_train_sample
+from deepim_tpu.data.preprocess import (
+    DecodeCache,
+    VOCBackgrounds,
+    make_test_sample,
+    make_train_sample,
+)
 from deepim_tpu.engine.train import TrainBatch
 
 
@@ -56,6 +61,7 @@ class TrainLoader:
         prefetch: int = 2,
         process_index: int | None = None,
         process_count: int | None = None,
+        decode_cache_mb: int = 8192,
     ):
         self.pairdb = pairdb
         self.cfg = cfg
@@ -84,6 +90,10 @@ class TrainLoader:
         self.voc = VOCBackgrounds(cfg.dataset.root_path)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
+        # Decode+resize results are immutable; memoize them across epochs
+        # (0 disables).  On few-core hosts the decode otherwise bounds the
+        # epoch: see DecodeCache.
+        self.cache = DecodeCache(decode_cache_mb) if decode_cache_mb else None
 
     @property
     def epoch_size(self) -> int:
@@ -96,7 +106,8 @@ class TrainLoader:
         rng = random.Random(int.from_bytes(words[:2].tobytes(), "little"))
         nprng = np.random.RandomState(words[2:])
         s = make_train_sample(
-            rec, self.cfg, self.points_by_class[rec["gt_class"]], rng, nprng, self.voc
+            rec, self.cfg, self.points_by_class[rec["gt_class"]], rng, nprng, self.voc,
+            cache=self.cache,
         )
         s["class_index"] = np.int32(self.class_name.index(rec["gt_class"]))
         return s
@@ -165,13 +176,15 @@ class TestLoader:
 
     __test__ = False  # not a pytest class
 
-    def __init__(self, pairdb: list[dict], cfg: Config, batch_size: int, num_workers: int = 2):
+    def __init__(self, pairdb: list[dict], cfg: Config, batch_size: int, num_workers: int = 2,
+                 decode_cache_mb: int = 4096):
         self.pairdb = pairdb
         self.cfg = cfg
         self.batch_size = batch_size
         self.class_name = list(cfg.dataset.class_name)
         self.k = cfg.dataset.intrinsic_matrix()
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.cache = DecodeCache(decode_cache_mb) if decode_cache_mb else None
 
     def __len__(self) -> int:
         return -(-len(self.pairdb) // self.batch_size)
@@ -182,7 +195,7 @@ class TestLoader:
         rng = random.Random(
             int.from_bytes(np.random.SeedSequence([17, index]).generate_state(2).tobytes(), "little")
         )
-        s = make_test_sample(rec, self.cfg, rng)
+        s = make_test_sample(rec, self.cfg, rng, cache=self.cache)
         s["class_index"] = np.int32(self.class_name.index(rec["gt_class"]))
         return s
 

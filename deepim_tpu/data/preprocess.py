@@ -23,6 +23,49 @@ import numpy as np
 from deepim_tpu.config import Config
 
 
+class DecodeCache:
+    """In-memory cache of decoded+resized arrays, keyed by (kind, path, ...).
+
+    The reference hides PNG-decode latency behind a multiprocessing pool
+    (lib/utils/PrefetchingIter.py + loader.py:111-360); on hosts with few
+    cores the decode itself is the epoch bottleneck (a TPU train step at
+    256^2 is ~10x faster than decoding its batch on 2 cores).  Decoded
+    records are immutable inputs — every augmentation downstream
+    (VOC background, mask strategies, dilation) allocates fresh arrays — so
+    caching the post-resize arrays across epochs is exact: epoch 2+ pays
+    only augmentation + stacking.
+
+    Entries are inserted until `budget_mb` is reached, then the cache stops
+    growing (no eviction — epoch access order is a reshuffle, so LRU would
+    thrash; a stable prefix keeps the hit rate proportional to capacity).
+    Thread-safe under the GIL: worst case two workers decode the same record
+    once each.
+    """
+
+    def __init__(self, budget_mb: int = 4096):
+        self.data: dict = {}
+        self.budget = budget_mb * (1 << 20)
+        self.bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key, fn):
+        out = self.data.get(key)
+        if out is not None:
+            self.hits += 1
+            return out
+        self.misses += 1
+        out = fn()
+        if self.bytes + out.nbytes <= self.budget:
+            self.data[key] = out
+            self.bytes += out.nbytes
+        return out
+
+
+def _cached(cache: DecodeCache | None, key, fn):
+    return fn() if cache is None else cache.get(key, fn)
+
+
 def resize_to(im: np.ndarray, target_size: int, max_size: int) -> tuple[np.ndarray, float]:
     """Scale so the short side == target_size, capped by max_size on the long
     side (lib/utils/image.py:552-580)."""
@@ -164,19 +207,29 @@ def make_train_sample(
     rng: random.Random,
     nprng: np.random.RandomState,
     voc: VOCBackgrounds | None = None,
+    cache: DecodeCache | None = None,
 ) -> dict[str, np.ndarray]:
     """Build one training sample (numpy, NCHW) from a pair record.
 
     Combines data_pair.get_data_pair_train_batch (lib/pair_matching/
     data_pair.py:135-248) with the image.py loaders; the rendered side and
     all labels that depend on it (flow, delta pose) are produced on-device by
-    the training engine.
+    the training engine.  `cache` (optional DecodeCache) memoizes the pure
+    decode+resize stage across epochs; all augmentation stays per-call.
     """
     target_size, max_size = cfg.SCALES[0]
-    im_obs = load_image_rgb(pair_rec["image_observed"])
-    im_obs, _ = resize_to(im_obs, target_size, max_size)
+    ts_ms = (target_size, max_size)
+    im_obs = _cached(
+        cache, ("img", pair_rec["image_observed"], ts_ms),
+        lambda: resize_to(load_image_rgb(pair_rec["image_observed"]), *ts_ms)[0],
+    )
 
-    mask_gt = load_gt_observed_mask(pair_rec, cfg.dataset.DEPTH_FACTOR)
+    mask_gt = _cached(
+        cache,
+        ("maskgt_raw", pair_rec.get("mask_gt_observed") or pair_rec["depth_gt_observed"],
+         pair_rec.get("mask_idx")),
+        lambda: load_gt_observed_mask(pair_rec, cfg.dataset.DEPTH_FACTOR),
+    )
     if pair_rec.get("data_syn", False) or (
         voc is not None and cfg.TRAIN.REPLACE_OBSERVED_BG_RATIO > 0
         and rng.random() < cfg.TRAIN.REPLACE_OBSERVED_BG_RATIO
@@ -184,8 +237,12 @@ def make_train_sample(
         if voc is not None:
             im_obs = voc.replace_background(im_obs, mask_gt, rng)
 
-    mask_gt_r, _ = resize_to(mask_gt, target_size, max_size)
-    mask_gt_r = (mask_gt_r >= 0.5).astype(np.float32)
+    mask_gt_r = _cached(
+        cache,
+        ("maskgt", pair_rec.get("mask_gt_observed") or pair_rec["depth_gt_observed"],
+         pair_rec.get("mask_idx"), ts_ms),
+        lambda: (resize_to(mask_gt, *ts_ms)[0] >= 0.5).astype(np.float32),
+    )
 
     # INIT_MASK strategy (image.py:263-292).
     if cfg.TRAIN.INIT_MASK == "mask_gt":
@@ -193,16 +250,24 @@ def make_train_sample(
     elif cfg.TRAIN.INIT_MASK == "box_gt":
         mask_obs = box_mask_from(mask_gt_r)
     elif cfg.TRAIN.INIT_MASK == "box_rendered":
-        depth_rend = load_depth(pair_rec["depth_rendered"], cfg.dataset.DEPTH_FACTOR)
-        depth_rend, _ = resize_to(depth_rend, target_size, max_size)
+        depth_rend = _cached(
+            cache, ("depth", pair_rec["depth_rendered"], ts_ms),
+            lambda: resize_to(
+                load_depth(pair_rec["depth_rendered"], cfg.dataset.DEPTH_FACTOR), *ts_ms
+            )[0],
+        )
         mask_obs = box_mask_from((depth_rend > 0.2).astype(np.float32))
     else:
         raise ValueError(f"Unknown INIT_MASK {cfg.TRAIN.INIT_MASK}")
     if cfg.TRAIN.MASK_DILATE:
         mask_obs = mask_dilate_np(mask_obs, rng)
 
-    depth_gt_obs = load_depth(pair_rec["depth_gt_observed"], cfg.dataset.DEPTH_FACTOR)
-    depth_gt_obs, _ = resize_to(depth_gt_obs, target_size, max_size)
+    depth_gt_obs = _cached(
+        cache, ("depth", pair_rec["depth_gt_observed"], ts_ms),
+        lambda: resize_to(
+            load_depth(pair_rec["depth_gt_observed"], cfg.dataset.DEPTH_FACTOR), *ts_ms
+        )[0],
+    )
 
     sample = {
         "image_observed": im_obs.transpose(2, 0, 1),  # (3, H, W) raw RGB
@@ -214,8 +279,12 @@ def make_train_sample(
         "class_index": np.int32(0),  # filled by the loader (class-name table)
     }
     if cfg.network.INPUT_DEPTH:
-        d_obs = load_depth(pair_rec["depth_observed"], cfg.dataset.DEPTH_FACTOR)
-        d_obs, _ = resize_to(d_obs, target_size, max_size)
+        d_obs = _cached(
+            cache, ("depth", pair_rec["depth_observed"], ts_ms),
+            lambda: resize_to(
+                load_depth(pair_rec["depth_observed"], cfg.dataset.DEPTH_FACTOR), *ts_ms
+            )[0],
+        )
         sample["depth_observed"] = d_obs[None]
     if cfg.train_iter.SE3_PM_LOSS:
         pts, w = sample_model_points(points, cfg.train_iter.NUM_3D_SAMPLE, nprng)
@@ -225,7 +294,8 @@ def make_train_sample(
 
 
 def make_test_sample(
-    pair_rec: dict, cfg: Config, rng: random.Random | None = None
+    pair_rec: dict, cfg: Config, rng: random.Random | None = None,
+    cache: DecodeCache | None = None,
 ) -> dict[str, np.ndarray]:
     """Build one test sample.  The observed mask follows TEST.INIT_MASK
     (image.py:297-378).  For the 'box_rendered' default without MASK_DILATE
@@ -235,8 +305,11 @@ def make_test_sample(
     must be built and dilated on host, and the engine keeps it for the first
     iteration (EngineConfig.init_mask_host)."""
     target_size, max_size = cfg.SCALES[0]
-    im_obs = load_image_rgb(pair_rec["image_observed"])
-    im_obs, _ = resize_to(im_obs, target_size, max_size)
+    ts_ms = (target_size, max_size)
+    im_obs = _cached(
+        cache, ("img", pair_rec["image_observed"], ts_ms),
+        lambda: resize_to(load_image_rgb(pair_rec["image_observed"]), *ts_ms)[0],
+    )
     h, w = im_obs.shape[:2]
 
     init = cfg.TEST.INIT_MASK

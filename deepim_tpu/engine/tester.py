@@ -98,7 +98,7 @@ def eval_flow_epe(
     predicted flow to the full frame, and compares against the
     depth-reprojection GT flow.  Reports mean EPE over all pixels, visible
     pixels, and visible+background pixels."""
-    from deepim_tpu.data.preprocess import load_depth, load_gt_observed_mask
+    from deepim_tpu.data.preprocess import load_depth, load_gt_observed_mask, resize_to
     from deepim_tpu.engine.refine import refine_step
     from deepim_tpu.ops.flow import flow_from_depth
     from deepim_tpu.ops.zoom import zoom_flow
@@ -146,6 +146,13 @@ def eval_flow_epe(
                 # depth (par_generate_gt, tester.py:530-569).
                 d_obs = load_depth(rec["depth_gt_observed"], cfg.dataset.DEPTH_FACTOR)
                 label = load_gt_observed_mask(rec, cfg.dataset.DEPTH_FACTOR)
+                # Stored depths are at the devkit's native resolution; bring
+                # them to SCALES when they differ (same resize the train-side
+                # sample builder applies, preprocess.make_train_sample).
+                if d_obs.shape != depth_rend[j].shape:
+                    ts, ms = cfg.SCALES[0]
+                    d_obs = resize_to(d_obs, ts, ms)[0]
+                    label = (resize_to(label, ts, ms)[0] >= 0.5).astype(np.float32)
                 d_obs = d_obs * (label > 0)
                 gt_flow, gt_valid = flow_from_depth(
                     jnp.asarray(depth_rend[j : j + 1]),

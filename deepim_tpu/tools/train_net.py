@@ -177,12 +177,19 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
             state_d, metrics, _ = pstep(state_d, batch_d, bank_d)
             # Per-inner-iteration losses (the reference logs every iteration,
             # module.py:1096-1158; they are the main refinement diagnostic).
-            host_metrics = {}
-            for k, v in metrics.items():
-                vals = np.asarray(v)
-                for it in range(vals.shape[0]):
-                    host_metrics[f"{k}/iter{it}"] = float(vals[it])
-                host_metrics[k] = float(vals[-1])
+            # Fetched every `frequent` steps (and on the epoch's last step)
+            # with ONE batched device_get: a per-array, per-step fetch costs
+            # a full host<->device round-trip each — on tunneled backends
+            # that is ~0.5-1 s per step, dwarfing the step itself — and any
+            # fetch blocks dispatch pipelining against the host loader.
+            host_metrics = None
+            if nbatch % speedo.frequent == 0 or nbatch == epoch_size - 1 or tb.enabled:
+                metrics_np = jax.device_get(metrics)
+                host_metrics = {}
+                for k, vals in metrics_np.items():
+                    for it in range(vals.shape[0]):
+                        host_metrics[f"{k}/iter{it}"] = float(vals[it])
+                    host_metrics[k] = float(vals[-1])
             speedo(epoch, nbatch, host_metrics)
             if tb.enabled:
                 step = int(np.asarray(state_d.step))
@@ -193,8 +200,9 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
         if tb.enabled:
             tb.weight_norms(jax.device_get(state_d.params), epoch + 1)
             tb.flush()
-        save_checkpoint(prefix, epoch + 1, jax.device_get(state_d))
-        logger.info("saved checkpoint epoch %d", epoch + 1)
+        if (epoch + 1) % cfg.TRAIN.CHECKPOINT_INTERVAL == 0 or epoch + 1 == cfg.TRAIN.end_epoch:
+            save_checkpoint(prefix, epoch + 1, jax.device_get(state_d))
+            logger.info("saved checkpoint epoch %d", epoch + 1)
     tb.close()
     return jax.device_get(state_d)
 

@@ -92,7 +92,7 @@ def main():
                 "lr": args.lr, "lr_step": f"{args.epochs * 2 // 3}, {args.epochs * 5 // 6}",
                 "grad_clip": 1.0,
                 "INIT_MASK": "box_gt", "UPDATE_MASK": "box_gt", "MASK_DILATE": True,
-                "model_prefix": "bench13",
+                "model_prefix": "bench13", "CHECKPOINT_INTERVAL": 5,
                 "RESUME": args.resume_epoch > 0, "begin_epoch": args.resume_epoch,
             },
             "TEST": {"test_iter": 4, "test_epoch": args.epochs,

@@ -130,6 +130,7 @@ def main():
                     "grad_clip": 1.0,
                     "INIT_MASK": args.ft_mask, "UPDATE_MASK": args.ft_mask,
                     "MASK_DILATE": True, "model_prefix": "occ13",
+                    "CHECKPOINT_INTERVAL": 5,
                     "RESUME": True, "begin_epoch": args.epochs,
                     "end_epoch": end_epoch,
                 },

@@ -187,3 +187,19 @@ def test_augmentations_actually_draw(devkit):
         for b in batches
     )
     assert bg_nonzero
+
+
+def test_decode_cache_bit_exact(devkit):
+    """The DecodeCache memoizes only the pure decode+resize stage, so cached
+    and uncached loaders must produce bit-identical batches — including on
+    the second epoch, where every decode is a cache hit."""
+    cfg = make_cfg(devkit)
+    pairdb, pts = _load_pairdb(devkit, cfg)
+    cold = TrainLoader(pairdb, cfg, pts, batch_size=4, seed=13, decode_cache_mb=0)
+    warm = TrainLoader(pairdb, cfg, pts, batch_size=4, seed=13, decode_cache_mb=256)
+    assert cold.cache is None and warm.cache is not None
+    for epoch in range(2):
+        for ba, bb in zip(_epoch_arrays(cold, epoch), _epoch_arrays(warm, epoch)):
+            for key in ba:
+                np.testing.assert_array_equal(ba[key], bb[key], err_msg=key)
+    assert warm.cache.hits > 0  # epoch 2 actually exercised cached entries
