@@ -73,6 +73,15 @@ class EngineConfig:
     # the FIRST iteration even under update_mask='box_rendered'; later
     # iterations refresh from the on-device render (data_pair.py:93-105).
     init_mask_host: bool = False
+    # Dtype of the IMAGE zoom resample's MXU matmuls ('float32' |
+    # 'bfloat16').  The network consumes the zoomed images in bfloat16
+    # anyway and the crop is non-differentiable (stop_gradient), so
+    # sampling them in bf16 costs ~0.5% pixel noise and runs the
+    # resample's two matmuls at the MXU's bf16 rate (~4x f32 on v5e) —
+    # the zoom was ~8-16 ms/iteration at production batch in f32.  Masks,
+    # depths and flow labels always resample in f32 (their rounding /
+    # threshold semantics are exact).
+    zoom_dtype: str = "float32"
 
     @staticmethod
     def from_config(
@@ -86,6 +95,8 @@ class EngineConfig:
         runtime dropped-pair warning."""
         # The Pallas per-tile kernel is the production path on TPU; the pure
         # XLA pipeline is used on CPU (tests) where Pallas runs interpreted.
+        # Image zoom likewise runs bf16 on TPU (f32 on CPU keeps the golden
+        # tests bit-stable).
         use_pallas = jax.default_backend() == "tpu"
         ecfg = EngineConfig(
             height=cfg.height,
@@ -113,6 +124,7 @@ class EngineConfig:
             num_iters=(cfg.network.TRAIN_ITER_SIZE if train else cfg.TEST.test_iter),
             init_mask_host=(not train) and cfg.TEST.MASK_DILATE,
             texture_sampling=cfg.dataset.TEXTURE_SAMPLING,
+            zoom_dtype="bfloat16" if use_pallas else "float32",
         )
         if bank_arrays is not None:
             ecfg = tune_raster_for_bank(
@@ -363,15 +375,20 @@ def refine_step(
     mask_gt_obs = obs.mask_gt_observed if obs.mask_gt_observed is not None else mask_obs
 
     # Images enter the zoom mean-subtracted (train.py feeds transformed
-    # images; zoom adds/removes the means around sampling).
+    # images; zoom adds/removes the means around sampling).  zoom_dtype
+    # picks the resample matmuls' MXU precision for the IMAGES only.
+    zdt = jnp.dtype(ecfg.zoom_dtype)
     img_obs_norm = obs.image_observed - pm.reshape(1, 3, 1, 1)
     img_rend_norm = image_rendered - pm.reshape(1, 3, 1, 1)
 
     if ecfg.input_mask:
         zf = zoom_factor_from_masks(mask_obs, mask_gt_obs, mask_rendered, pose, k)
     else:
+        # Foreground thresholding for the factor stays f32.
         zf = zoom_factor_from_images(img_obs_norm, img_rend_norm, pose, k, pm)
-    z_img_obs, z_img_rend = zoom_images(img_obs_norm, img_rend_norm, zf, pm)
+    z_img_obs, z_img_rend = zoom_images(
+        img_obs_norm.astype(zdt), img_rend_norm.astype(zdt), zf, pm
+    )
 
     kwargs = {}
     if ecfg.input_mask:

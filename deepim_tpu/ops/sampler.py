@@ -82,12 +82,20 @@ def affine_sample(img: jax.Array, zf: ZoomFactor, out_hw: tuple[int, int] | None
     b, c, h, w = img.shape
     ho, wo = out_hw if out_hw is not None else (h, w)
     dtype = img.dtype
-    gx = jnp.linspace(-1.0, 1.0, wo, dtype=dtype)
-    gy = jnp.linspace(-1.0, 1.0, ho, dtype=dtype)
-    sx = (zf.wx[:, None] * gx[None, :] + zf.tx[:, None] + 1.0) * ((w - 1) * 0.5)
-    sy = (zf.wy[:, None] * gy[None, :] + zf.ty[:, None] + 1.0) * ((h - 1) * 0.5)
-    wmat_x = _interp_weights(sx, w)  # (B, Wo, W)
-    wmat_y = _interp_weights(sy, h)  # (B, Ho, H)
+    # Sample positions and interpolation weights are ALWAYS built in f32 —
+    # a bf16 source coordinate at 640 px carries ~2 px of rounding error.
+    # Only the weight matrices are cast to the image dtype, so a bf16 image
+    # runs both resample matmuls at the MXU's bf16 rate with f32
+    # accumulation (preferred_element_type below).
+    f32 = jnp.float32
+    gx = jnp.linspace(-1.0, 1.0, wo, dtype=f32)
+    gy = jnp.linspace(-1.0, 1.0, ho, dtype=f32)
+    wx, wy = zf.wx.astype(f32), zf.wy.astype(f32)
+    tx, ty = zf.tx.astype(f32), zf.ty.astype(f32)
+    sx = (wx[:, None] * gx[None, :] + tx[:, None] + 1.0) * ((w - 1) * 0.5)
+    sy = (wy[:, None] * gy[None, :] + ty[:, None] + 1.0) * ((h - 1) * 0.5)
+    wmat_x = _interp_weights(sx, w).astype(dtype)  # (B, Wo, W)
+    wmat_y = _interp_weights(sy, h).astype(dtype)  # (B, Ho, H)
     # Two MXU matmuls: rows then columns.
     tmp = jnp.einsum("bih,bchw->bciw", wmat_y, img, preferred_element_type=jnp.float32)
     out = jnp.einsum("bciw,bjw->bcij", tmp, wmat_x, preferred_element_type=jnp.float32)
