@@ -234,6 +234,133 @@ def _csr_chunk_kernel(nh_ref, init_ref, fin_ref, row_ref, x0_ref, y0_ref, blk_re
         out_ref[0, 5:8, :] = jnp.zeros((3, lanes), jnp.float32)
 
 
+RAW_WIDTH = 32  # raw corner-pack row width (planes64 kernel), lane layout below
+
+
+def _csr_planes_kernel(nh_ref, init_ref, fin_ref, row_ref, x0_ref, y0_ref, blk_ref,
+                       raw_ref, out_ref, acc_ref, *, tile_h, tile_w, lanes, ch):
+    """planes64 CSR path: one grid step = one CH-face chunk; ALL CH faces of
+    the chunk are evaluated together as (CH, 128) column-broadcast FMAs and
+    reduced to the tile's single best fragment by a log2(CH) lexicographic
+    (qi, -fid) tournament, then lex-merged into a (8, P) accumulator.
+
+    Unlike the slots8 kernel this variant consumes RAW projected corners and
+    derives the edge/attribute planes in-kernel per chunk ((CH, 1) column
+    math, negligible next to the (CH, 128) evaluation): the caller skips the
+    25-column record-table build entirely — at LINEMOD scale that XLA-side
+    relayout (build_face_records' stack) costs more than the whole z-kernel.
+    Formulas are IDENTICAL to build_face_records (rasterizer.py), so the
+    output matches the XLA pipeline within f32 fma-reassociation noise.
+
+    raw_ref: (CH, 32) f32 VMEM block of the raw pack
+      [0:3] corner u, [3:6] corner v, [6:9] corner 1/z,
+      [9:18] corner colors (corner-major: c0 rgb, c1 rgb, c2 rgb),
+      [18] global face id (f32, exact < 2^24), [19] validity flag,
+      [20:32] pad.
+    acc_ref: (8, P) persistent scratch — rows [zq, fid, r*q, g*q, b*q, pad].
+    out_ref: (1, 8, P): fin chunks emit [qi, fid, r*q, g*q, b*q, 0, 0, 0] —
+    the same contract as the slots8 kernel, so the caller's cross-group
+    merge is shared.
+    """
+    s = pl.program_id(0)
+    n_here = nh_ref[s]
+    x0 = x0_ref[s].astype(jnp.float32)
+    y0 = y0_ref[s].astype(jnp.float32)
+    assert tile_h * tile_w == lanes == 128
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    px = x0 + (lin % tile_w).astype(jnp.float32)   # (1, P)
+    py = y0 + (lin // tile_w).astype(jnp.float32)
+
+    @pl.when(init_ref[s] == 1)
+    def _():
+        acc_ref[0:1, :] = jnp.full((1, lanes), _NEG, jnp.float32)
+        acc_ref[1:2, :] = jnp.full((1, lanes), _BIG, jnp.float32)
+        acc_ref[2:8, :] = jnp.zeros((6, lanes), jnp.float32)
+
+    @pl.when(n_here > 0)
+    def _():
+        raw = raw_ref[:]  # (CH, 32)
+
+        def col(j):  # (CH, 1) face-column, broadcasts against (1, P)
+            return raw[:, j:j + 1]
+
+        u0, u1, u2 = col(0), col(1), col(2)
+        v0, v1, v2 = col(3), col(4), col(5)
+        q0, q1, q2 = col(6), col(7), col(8)
+        # --- per-face plane derivation ((CH, 1) ops) — build_face_records'
+        # exact formulas (rasterizer.py) ---
+        area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
+        okf = (col(19) > 0) & (jnp.abs(area) > 1e-12)
+        sgn = jnp.where(okf, jnp.sign(area), 0.0)
+        ar = jnp.where(okf, jnp.abs(area), _NEG)
+        inv = 1.0 / jnp.where(okf, area, 1.0)
+        a0, b0 = -(v2 - v1) * sgn, (u2 - u1) * sgn
+        a1, b1 = -(v0 - v2) * sgn, (u0 - u2) * sgn
+        a2, b2 = -(v1 - v0) * sgn, (u1 - u0) * sgn
+
+        def attr_plane(w0, w1, w2):
+            d1, d2 = w1 - w0, w2 - w0
+            a = (d1 * (v2 - v0) - d2 * (v1 - v0)) * inv
+            b = (d2 * (u1 - u0) - d1 * (u2 - u0)) * inv
+            return a, b, w0
+
+        qa, qb, _ = attr_plane(q0, q1, q2)
+        qlo = jnp.minimum(q0, jnp.minimum(q1, q2))
+        qhi = jnp.maximum(q0, jnp.maximum(q1, q2))
+        fidc = col(18)
+        live = (
+            jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0) < n_here
+        )
+
+        # --- (CH, P) evaluation ---
+        dx = px - u0
+        dy = py - v0
+        e0 = a0 * dx + b0 * dy + ar
+        e1 = a1 * dx + b1 * dy
+        e2 = a2 * dx + b2 * dy
+        inside = (jnp.minimum(e0, jnp.minimum(e1, e2)) >= 0) & live
+        qi = jnp.clip(qa * dx + qb * dy + q0, qlo, qhi)
+        q = jnp.where(inside, qi, _NEG)
+        f = jnp.broadcast_to(fidc, (ch, lanes))
+        rgb = []
+        for c in range(3):
+            ca, cb, c0 = attr_plane(
+                col(9 + c) * q0, col(12 + c) * q1, col(15 + c) * q2
+            )
+            rgb.append(ca * dx + cb * dy + c0)
+        r, g, b = rgb
+
+        # --- lexicographic (max qi, min fid) tournament: log2(CH) halvings ---
+        n = ch
+        while n > 1:
+            h = n // 2
+            qa_, qb_ = q[:h], q[h:n]
+            fa_, fb_ = f[:h], f[h:n]
+            upd = (qb_ > qa_) | ((qb_ == qa_) & (fb_ < fa_))
+            q = jnp.where(upd, qb_, qa_)
+            f = jnp.where(upd, fb_, fa_)
+            r = jnp.where(upd, r[h:n], r[:h])
+            g = jnp.where(upd, g[h:n], g[:h])
+            b = jnp.where(upd, b[h:n], b[:h])
+            n = h
+
+        # --- merge the chunk winner into the accumulator ---
+        zq = acc_ref[0:1, :]
+        fz = acc_ref[1:2, :]
+        upd = (q > zq) | ((q == zq) & (f < fz))
+        acc_ref[0:1, :] = jnp.where(upd, q, zq)
+        acc_ref[1:2, :] = jnp.where(upd, f, fz)
+        acc_ref[2:3, :] = jnp.where(upd, r, acc_ref[2:3, :])
+        acc_ref[3:4, :] = jnp.where(upd, g, acc_ref[3:4, :])
+        acc_ref[4:5, :] = jnp.where(upd, b, acc_ref[4:5, :])
+
+    @pl.when(fin_ref[s] == 1)
+    def _():
+        out_ref[0, 0:5, :] = acc_ref[0:5, :]
+        out_ref[0, 5:8, :] = jnp.zeros((3, lanes), jnp.float32)
+
+
 def pallas_csr_group(
     rec_group: jax.Array,   # (S_G * ch, 32) per-chunk face records, chunk-major
     nh_g: jax.Array,        # (S_G,) int32 faces in each chunk
@@ -247,6 +374,7 @@ def pallas_csr_group(
     tile_w: int,
     ch: int = 128,
     interpret: bool = False,
+    kernel: str = "slots8",
 ):
     """One group of the CSR z-buffer grid: a 1-D grid over S_G face chunks,
     accumulating per-slot (zq, fid, rgb*q) in persistent VMEM scratch and
@@ -273,6 +401,16 @@ def pallas_csr_group(
     ids = jnp.arange(s_g, dtype=jnp.int32)
     last_real = jnp.maximum(jnp.max(jnp.where(nh_g > 0, ids, 0)), 0)
     blk_g = jnp.where(nh_g > 0, ids, last_real)
+    if kernel == "planes64":
+        kern = functools.partial(
+            _csr_planes_kernel, tile_h=tile_h, tile_w=tile_w, lanes=p, ch=ch
+        )
+        scratch = pltpu.VMEM((8, p), jnp.float32)
+    else:
+        kern = functools.partial(
+            _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=8, lanes=p, ch=ch
+        )
+        scratch = pltpu.VMEM((40, p), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(s_g,),
@@ -289,12 +427,10 @@ def pallas_csr_group(
                 jnp.where(fin[s] == 1, jnp.minimum(row[s], w), w), 0, 0
             ),
         ),
-        scratch_shapes=[pltpu.VMEM((40, p), jnp.float32)],
+        scratch_shapes=[scratch],
     )
     return pl.pallas_call(
-        functools.partial(
-            _csr_chunk_kernel, tile_h=tile_h, tile_w=tile_w, sub=8, lanes=p, ch=ch
-        ),
+        kern,
         out_shape=jax.ShapeDtypeStruct((w_items + 1, 8, p), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

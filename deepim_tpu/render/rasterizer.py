@@ -119,6 +119,20 @@ class RasterConfig:
     # (avg tile counts are ~100-200 at LINEMOD density); 32 doubles the
     # grid overhead and loses (ab_raster.py, r4).
     csr_chunk: int = 64
+    # CSR z-kernel generation.  'slots8' packs 8 faces across sublanes with
+    # the full 25-column record table pre-built in XLA; 'planes64' consumes
+    # a raw projected-corner pack (4 contiguous block copies instead of the
+    # 25-column relayout build_face_records pays) and derives the planes
+    # in-kernel, evaluating all csr_chunk faces as (CH, 128) column
+    # broadcasts with a lexicographic tournament reduce.  Identical images
+    # up to f32 fma-reassociation in the plane constants.
+    csr_kernel: str = "slots8"
+    # Work-list build: 'topk' = jax.lax.top_k over the (B*T,) counts;
+    # 'sort' = one descending lax.sort carrying the tile ids.  XLA's TopK
+    # lowering for large k was measured slower than the plain sort at
+    # LINEMOD scale (see experiments/ab_raster.py); identical results
+    # (both stable, count-descending).
+    worklist: str = "topk"
     # Chunks per pallas_call in the csr path.  The grid's static size covers
     # the worst-case pair budget; groups past the frame's ACTUAL chunk count
     # are skipped at runtime (lax.cond), so only the groups with real work
@@ -448,6 +462,33 @@ def build_face_records(fu, fv, fq, fcol, valid):
     return jnp.pad(rec, ((0, 0), (0, 32 - rec.shape[1])))
 
 
+def build_raw_pack(fu, fv, fq, fcol, valid):
+    """Raw corner pack (N, 32) for the planes64 CSR kernel.
+
+    Pure block concatenation of already-contiguous arrays — fu/fv/fq come
+    out of the projection as (N, 3) row-major and fcol is the (N, 3, 3)
+    pose-independent corner-color slab — so XLA emits plain copies instead
+    of build_face_records' 25-way column interleave (the latter measured as
+    expensive as the whole z-kernel at LINEMOD scale).  Plane derivation
+    moves into the kernel (pallas_raster._csr_planes_kernel), which holds
+    the one copy of the formulas for this path.
+
+    Lane layout: [0:3] u, [3:6] v, [6:9] 1/z, [9:18] corner colors
+    (corner-major), [18] global face id (f32), [19] validity, [20:32] pad.
+    """
+    n = fu.shape[0]
+    cols = jnp.concatenate(
+        [
+            fu, fv, fq,
+            fcol.reshape(n, 9),
+            jnp.arange(n, dtype=jnp.float32)[:, None],
+            valid.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (N, 20)
+    return jnp.pad(cols, ((0, 0), (0, 32 - cols.shape[1])))
+
+
 def _visibility_pass(records, tile_faces_g, counts, tile_py, tile_px, cfg):
     """Single while_loop z-buffer over the flattened (batch x active-tile)
     work list (the pure-XLA path: CPU tests and non-Pallas fallback).
@@ -629,7 +670,13 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
     fv_flat = fv.reshape(b * nf, 3)
     fq_flat = fq.reshape(b * nf, 3)
     fcol_flat = fcol.reshape(b * nf, 3, 3)
-    records = build_face_records(fu_flat, fv_flat, fq_flat, fcol_flat, valid.reshape(b * nf))
+    planes64 = use_csr and cfg.csr_kernel == "planes64"
+    if planes64:
+        # The planes64 kernel consumes raw corners and derives the planes
+        # in-kernel; the expensive record-table relayout is skipped.
+        records = build_raw_pack(fu_flat, fv_flat, fq_flat, fcol_flat, valid.reshape(b * nf))
+    else:
+        records = build_face_records(fu_flat, fv_flat, fq_flat, fcol_flat, valid.reshape(b * nf))
 
     if use_csr:
         sorted_face, offsets, counts, dropped = jax.vmap(
@@ -674,7 +721,16 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
         a = t
     w_items = b * a
     counts_flat = counts.reshape(b * t)
-    cnt_top, flat_ids = jax.lax.top_k(counts_flat, w_items)  # (W,)
+    if cfg.worklist == "sort":
+        # One stable ascending sort on negated counts == top_k's contract
+        # (count-descending, ties by ascending flat id).
+        all_ids = jnp.arange(b * t, dtype=jnp.int32)
+        neg_sorted, ids_sorted = jax.lax.sort(
+            (-counts_flat, all_ids), num_keys=1, is_stable=True
+        )
+        cnt_top, flat_ids = -neg_sorted[:w_items], ids_sorted[:w_items]
+    else:
+        cnt_top, flat_ids = jax.lax.top_k(counts_flat, w_items)  # (W,)
     sample_of = flat_ids // t
     tile_of = flat_ids % t
     if not use_csr:
@@ -769,6 +825,7 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                 out = pallas_csr_group(
                     rec, nh_g, init_g, fin_g, row_g, x0_g, y0_g,
                     w_items, th, tw, ch=ch, interpret=interpret,
+                    kernel=cfg.csr_kernel,
                 )  # (W, 8, P) slot-merged rows [qi, fid, r*q, g*q, b*q, ...]
                 g_q = out[:, 0, :]
                 g_f = out[:, 1, :]

@@ -222,3 +222,50 @@ def test_bin_faces_csr_exact_pairs(rng):
     for t in range(BASE.num_tiles):
         c = int(np.asarray(counts_d)[t])
         np.testing.assert_array_equal(tf[t, :c], sf[off[t] : off[t] + c], err_msg=f"tile {t}")
+
+
+@pytest.mark.parametrize("mesh_fn", [lambda: make_test_cube(0.08), lambda: make_icosphere(0.05, 3)],
+                         ids=["cube", "ico3"])
+def test_planes64_matches_xla(mesh_fn):
+    """The planes64 kernel (raw corner pack + in-kernel plane derivation +
+    tournament reduce) must reproduce the XLA pipeline: exact hit masks,
+    depth/rgb within f32 fma-reassociation noise."""
+    verts, cols, faces, fval, pose = _scene(mesh_fn())
+    k = jnp.asarray(K_MAT)
+    n_fine = (-(-BASE.height // BASE.csr_tile_h)) * (-(-BASE.width // BASE.csr_tile_w))
+    full_budget = n_fine * int(faces.shape[1])
+    ref = rasterize(verts, cols, faces, fval, pose, k, BASE)
+    out = rasterize(
+        verts, cols, faces, fval, pose, k,
+        replace(BASE, use_pallas=True, binning="csr", bin_pairs=full_budget,
+                csr_kernel="planes64"),
+    )
+    np.testing.assert_array_equal(np.asarray(out[1]) > 0, np.asarray(ref[1]) > 0)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=5e-3)
+
+
+def test_planes64_group_and_chunk_splits():
+    """planes64 under forced multi-chunk tiles + multi-group scan must match
+    its own single-group render (cross-chunk accumulator + cross-group
+    merge correctness)."""
+    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3))
+    k = jnp.asarray(K_MAT)
+    base = replace(BASE, use_pallas=True, binning="csr", csr_kernel="planes64")
+    ref = rasterize(verts, cols, faces, fval, pose, k, base)
+    split = rasterize(verts, cols, faces, fval, pose, k,
+                      replace(base, csr_chunk=32, csr_group=7))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(split[1]))
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(split[0]), atol=5e-3)
+
+
+def test_worklist_sort_matches_topk():
+    """worklist='sort' must reproduce top_k's work list exactly (identical
+    images, both orderings count-descending with stable ties)."""
+    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3))
+    k = jnp.asarray(K_MAT)
+    for base in (BASE, replace(BASE, use_pallas=True, binning="csr", active_tiles=64)):
+        ref = rasterize(verts, cols, faces, fval, pose, k, base)
+        srt = rasterize(verts, cols, faces, fval, pose, k, replace(base, worklist="sort"))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(srt[1]))
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(srt[0]))
