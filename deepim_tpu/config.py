@@ -94,6 +94,10 @@ class TrainConfig:
     # reference (which always fine-tunes from pretrained FlowNet weights and
     # never needs it); required for stable from-scratch training.
     grad_clip: float = 0.0
+    # Skip optimizer updates with non-finite gradients
+    # (optax.apply_if_finite); aborts after 100 consecutive bad steps.
+    # From-scratch stabilizer, see engine/train.py make_optimizer.
+    skip_nonfinite: bool = True
     model_prefix: str = "deepim"
     # Save a checkpoint every N epochs (the final epoch always saves).  Not
     # in the reference (module.py saves per epoch); on backends where a

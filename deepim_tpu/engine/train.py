@@ -78,7 +78,14 @@ def make_optimizer(cfg: Config, schedule) -> optax.GradientTransformation:
         parts.append(optax.adamw(learning_rate=schedule, weight_decay=cfg.TRAIN.wd))
     else:
         raise ValueError(f"Unknown TRAIN.optimizer {cfg.TRAIN.optimizer!r}")
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if cfg.TRAIN.skip_nonfinite:
+        # From-scratch iterated training can hit isolated non-finite batches
+        # (a diverged inner-loop pose early in training); skip those updates
+        # instead of poisoning the parameters forever.  Not in the reference
+        # (which always fine-tunes pretrained FlowNet and never needs it).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def flow_weights_from_valid(valid: jax.Array, weight_type: str, depth_src: jax.Array) -> jax.Array:
@@ -216,7 +223,21 @@ def make_train_step(
             (total, (pose_new, losses)), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            # Rollout sanitation for from-scratch iterated training: an
+            # early-training network can emit a delta that throws the pose
+            # out of the camera frustum; the next iteration would then
+            # render nothing and fit garbage labels.  Reset such samples to
+            # their previous pose (per sample).  A no-op once the network is
+            # minimally competent — and always a no-op for the reference's
+            # own regime (fine-tuning from pretrained FlowNet).
             pose_next = jax.lax.stop_gradient(pose_new)
+            z = pose_next[:, 2, 3]
+            pose_ok = (
+                jnp.all(jnp.isfinite(pose_next), axis=(1, 2))
+                & (z > ecfg.raster.znear)
+                & (z < ecfg.raster.zfar)
+            )
+            pose_next = jnp.where(pose_ok[:, None, None], pose_next, pose_src)
             return (params, opt_state, step + 1, pose_next), losses
 
         init = (state.params, state.opt_state, state.step, batch.pose_rendered)
