@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, Observation, refine
 
 
-def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = None):
+def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = None,
+                 init_iters: int = 0):
     """Build the jittable tracking function.
 
     Returns track(params, frames, meshes, k, pose0, masks_observed=None):
@@ -32,6 +33,14 @@ def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = N
         (the shipped update_mask='box_rendered' rebuilds the observed box
         from the current render every refinement iteration anyway).
     -> (pose_final (B, 3, 4), poses (T, B, 3, 4)): the per-frame estimates.
+
+    init_iters > 0 runs that many EXTRA refinement iterations on frame 0
+    before the per-frame scan starts ("lock-on"): a detection-quality
+    initial pose (PoseCNN noise: 15 deg / 5 cm z) can sit outside the
+    basin that iters_per_frame=1-2 recovers within one frame, and an
+    un-locked frame 0 poisons every later frame.  Matches the reference's
+    own asymmetry between initial refinement (TEST.test_iter=4) and
+    frame-to-frame motion.
     """
     n = iters_per_frame if iters_per_frame is not None else ecfg.num_iters
 
@@ -39,6 +48,16 @@ def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = N
         if masks_observed is None:
             t, b = frames.shape[0], frames.shape[1]
             masks_observed = jnp.ones((t, b, 1) + frames.shape[3:], frames.dtype)
+
+        if init_iters:
+            obs0 = Observation(
+                image_observed=frames[0],
+                mask_observed=masks_observed[0],
+                mask_gt_observed=None,
+                depth_observed=None,
+                k=k,
+            )
+            pose0, _ = refine(params, model, obs0, meshes, pose0, ecfg, init_iters)
 
         def step(pose, frame_and_mask):
             frame, mask = frame_and_mask

@@ -83,12 +83,18 @@ def main():
             },
             "train_iter": {
                 "SE3_PM_LOSS": True, "LW_PM": 1.0, "NUM_3D_SAMPLE": 512,
-                "LW_FLOW": 0.25, "LW_MASK": 0.01,
+                "LW_FLOW": 0.25,
+                # The mask BCE is pixel-SUMMED (reference grad_scale
+                # semantics, deepIM_flownet.py:342-347), so its gradient
+                # scales with frame area; keep the 128^2-proven effective
+                # weight at any size (the unscaled 0.01 at 256^2 was enough
+                # mask-head pressure to blow up from-scratch training).
+                "LW_MASK": 0.01 * (128.0 / args.size) ** 2,
             },
             "TRAIN": {
                 "optimizer": "adam",
                 "BATCH_PAIRS": args.batch, "end_epoch": args.epochs,
-                "warmup": True, "warmup_lr": 1e-5, "warmup_step": 100,
+                "warmup": True, "warmup_lr": 1e-5, "warmup_step": 200,
                 "lr": args.lr, "lr_step": f"{args.epochs * 2 // 3}, {args.epochs * 5 // 6}",
                 "grad_clip": 1.0,
                 "INIT_MASK": "box_gt", "UPDATE_MASK": "box_gt", "MASK_DILATE": True,

@@ -121,7 +121,9 @@ def main():
                 "network": {"TRAIN_ITER": True, "TRAIN_ITER_SIZE": args.train_iter_size},
                 "train_iter": {
                     "SE3_PM_LOSS": True, "LW_PM": 1.0, "NUM_3D_SAMPLE": 512,
-                    "LW_FLOW": 0.25, "LW_MASK": 0.01,
+                    "LW_FLOW": 0.25,
+                    # Area-scaled like benchmark_multiclass (pixel-summed BCE).
+                    "LW_MASK": 0.01 * (128.0 / args.size) ** 2,
                 },
                 "TRAIN": {
                     "optimizer": "adam", "BATCH_PAIRS": args.batch,

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--track-classes", type=int, default=4, help="videos tracked (batch)")
     ap.add_argument("--subdiv", type=int, default=3)
     ap.add_argument("--iters-per-frame", type=int, default=2)
+    ap.add_argument("--init-iters", type=int, default=0,
+                    help="extra frame-0 lock-on refinement iterations "
+                    "(round-3 diagnosis: obj00's detection-noise init sits "
+                    "outside the 2-iteration basin and never recovers)")
     ap.add_argument("--devkit", default=None)
     args = ap.parse_args()
 
@@ -120,7 +124,8 @@ def main():
     pose0[:, 1, 3] += rng.normal(0, 0.01, b)
     pose0[:, 2, 3] += rng.normal(0, 0.05, b)
 
-    track = jax.jit(make_tracker(model, ecfg, args.iters_per_frame))
+    track = jax.jit(make_tracker(model, ecfg, args.iters_per_frame,
+                                 init_iters=args.init_iters))
     _, poses_est = track(
         params, jnp.asarray(frames), mb, jnp.asarray(k), jnp.asarray(pose0)
     )
@@ -167,6 +172,7 @@ def main():
     summary = {
         "frames": t_frames,
         "iters_per_frame": args.iters_per_frame,
+        "init_iters": args.init_iters,
         "mean_add_lt_0.1d_pct": float(np.mean([r["add_lt_0.1d_pct"] for r in rows])),
         "mean_add_over_d": float(np.mean([r["mean_add_over_d"] for r in rows])),
         "per_class": rows,
