@@ -88,6 +88,10 @@ def main() -> None:
         overrides["raster_batch_chunk"] = int(os.environ["BENCH_RBC"])
     if os.environ.get("BENCH_CSR_GROUP"):
         overrides["csr_group"] = int(os.environ["BENCH_CSR_GROUP"])
+    if os.environ.get("BENCH_CSR_KERNEL"):
+        overrides["csr_kernel"] = os.environ["BENCH_CSR_KERNEL"]
+    if os.environ.get("BENCH_WORKLIST"):
+        overrides["worklist"] = os.environ["BENCH_WORKLIST"]
     if overrides:
         import dataclasses
 
