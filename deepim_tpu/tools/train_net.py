@@ -166,6 +166,17 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
     bank_d = replicate_pytree(bank_arrays, mesh)
     pstep = None
     speedo = Speedometer(batch_size, frequent=20)
+    # Dispatch backpressure: jax dispatch is async and the host loop (with
+    # the decode cache) can produce batches ~40x faster than a device step
+    # completes, so without a bound the in-flight queue pins every
+    # transferred batch on the host until the OOM killer fires (observed:
+    # 130 GB anon RSS at ~30 MB/s leak rate).  Keep at most 3 steps in
+    # flight by blocking on the metrics of the step from 3 batches ago —
+    # usually already complete, so the block costs one tunnel round trip,
+    # not a pipeline stall.
+    from collections import deque
+
+    inflight: deque = deque()
     # TensorBoard scalars (module.py:1096-1158 when TENSORBOARD_LOG).
     tb = TBLogger(os.path.join(output_dir, "tb"), enabled=cfg.TRAIN.TENSORBOARD_LOG)
 
@@ -175,6 +186,9 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
             if pstep is None:
                 pstep = jit_train_step_dp(step_fn, mesh, state_d, batch_d, bank_d)
             state_d, metrics, _ = pstep(state_d, batch_d, bank_d)
+            inflight.append(metrics["total"])
+            if len(inflight) > 3:
+                jax.block_until_ready(inflight.popleft())
             # Per-inner-iteration losses (the reference logs every iteration,
             # module.py:1096-1158; they are the main refinement diagnostic).
             # Fetched every `frequent` steps (and on the epoch's last step)
