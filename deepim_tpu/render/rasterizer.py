@@ -125,13 +125,20 @@ class RasterConfig:
     # 25-column relayout build_face_records pays) and derives the planes
     # in-kernel, evaluating all csr_chunk faces as (CH, 128) column
     # broadcasts with a lexicographic tournament reduce.  Identical images
-    # up to f32 fma-reassociation in the plane constants.
+    # up to f32 fma-reassociation in the plane constants.  Measured on v5e
+    # (results/ab_raster_r4.jsonl, batch 8 / 20k faces): planes64 is ~29%
+    # SLOWER end-to-end (9.6 -> 12.4 ms) — the (CH,128) tournament reduce
+    # moves more vector data than the 8-slot accumulator, and the
+    # record-build savings that motivated it overlap away in the composed
+    # program (isolated stage timings double-count what XLA fuses).  Kept
+    # as a correct, tested alternative and a record of the measurement.
     csr_kernel: str = "slots8"
     # Work-list build: 'topk' = jax.lax.top_k over the (B*T,) counts;
-    # 'sort' = one descending lax.sort carrying the tile ids.  XLA's TopK
-    # lowering for large k was measured slower than the plain sort at
-    # LINEMOD scale (see experiments/ab_raster.py); identical results
-    # (both stable, count-descending).
+    # 'sort' = one descending lax.sort carrying the tile ids.  Identical
+    # results (both stable, count-descending); measured within noise of
+    # each other on v5e at LINEMOD scale (9.50 vs 9.57 ms per batch-8
+    # render, results/ab_raster_r4.jsonl) — the 3 ms "meta" stage seen in
+    # isolated profiling overlaps away in the composed program.
     worklist: str = "topk"
     # Chunks per pallas_call in the csr path.  The grid's static size covers
     # the worst-case pair budget; groups past the frame's ACTUAL chunk count
