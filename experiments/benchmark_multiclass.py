@@ -37,6 +37,11 @@ def main():
                     "protocol (deepim_flownet_LM_SIXD_v1_..._RFMx4_8epoch.yaml:58)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--test-only", action="store_true")
+    ap.add_argument("--train-only", action="store_true",
+                    help="train (or resume) and exit before evaluation — "
+                    "for chunked runs that restart the process every few "
+                    "epochs (the tunneled TPU client leaks host memory per "
+                    "transferred batch; a process restart is the bound)")
     ap.add_argument("--resume-epoch", type=int, default=0,
                     help="resume training from this epoch's checkpoint")
     args = ap.parse_args()
@@ -119,6 +124,9 @@ def main():
     else:
         state = train_net(cfg, output_dir=run_dir)
         params = state.params
+    if args.train_only:
+        print("train-only: stopped after epoch", args.epochs, flush=True)
+        return
     cache = os.path.join(run_dir, "results_pose.pkl")
     if os.path.exists(cache):
         os.remove(cache)
