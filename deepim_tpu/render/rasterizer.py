@@ -819,14 +819,27 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                 # First budgeted pair of each chunk within the flat sorted-
                 # pair array; the chunk's CH pair slots are CONTIGUOUS from
                 # there (a tile's CSR segment is contiguous), so the face
-                # ids of a whole chunk are one dynamic slice, not CH scalar
-                # gathers.  The sentinel tail keeps every real chunk's slice
-                # in-bounds; junk-chunk slices clamp and are never read
-                # (nh = 0).
+                # ids of a whole chunk are one CH-wide slice.  Emitted as a
+                # SINGLE batched lax.gather with slice_sizes=(CH,): the
+                # vmapped dynamic_slice it replaces lowered to one tiny
+                # slice per chunk (~0.8 us each — ~1.7 ms/render at LINEMOD
+                # scale, the single largest op group in the round-4 device
+                # trace); a 256-byte-row gather moves the same data at
+                # row-gather cost.  The sentinel tail keeps every real
+                # chunk's slice in-bounds (lax.gather clamps like
+                # dynamic_slice); junk-chunk slices are never read (nh = 0).
                 start_g = sample_of[w_g] * n_pairs + seg_off[w_g] + c_of_s * ch
-                sf = jax.vmap(
-                    lambda st: jax.lax.dynamic_slice(sorted_face_flat, (st,), (ch,))
-                )(start_g)  # (G, CH)
+                sf = jax.lax.gather(
+                    sorted_face_flat,
+                    start_g[:, None],
+                    jax.lax.GatherDimensionNumbers(
+                        offset_dims=(1,),
+                        collapsed_slice_dims=(),
+                        start_index_map=(0,),
+                    ),
+                    slice_sizes=(ch,),
+                    mode=jax.lax.GatherScatterMode.CLIP,
+                )  # (G, CH)
                 fg = (sample_of[w_g] * nf)[:, None] + jnp.minimum(sf, nf - 1)
                 rec = records[fg.reshape(-1)]  # (G*CH, 32)
                 out = pallas_csr_group(
