@@ -108,7 +108,11 @@ class TrainConfig:
     RESUME: bool = False
     SHUFFLE: bool = True
     BATCH_PAIRS: int = 1
-    FLOW_WEIGHT_TYPE: str = "all"  # 'all' | 'viz' | 'valid'
+    # 'all' | 'viz' | 'valid' (lib/utils/image.py:436-442) | 'viz_visible'
+    # (extension: viz AND the flow target lands on the object's VISIBLE
+    # observed-instance mask — occlusion-aware supervision; the reference's
+    # viz weights compare against the object-alone gt depth only).
+    FLOW_WEIGHT_TYPE: str = "all"
     TENSORBOARD_LOG: bool = False
     INIT_MASK: str = "box_gt"
     UPDATE_MASK: str = "box_gt"
@@ -249,7 +253,7 @@ def validate_config(cfg: Config) -> Config:
         raise ValueError("train_iter.SE3_DIST_LOSS requires network.ROT_TYPE='QUAT'")
     if cfg.TRAIN.optimizer.lower() not in ("sgd", "adam"):
         raise ValueError(f"Unknown TRAIN.optimizer {cfg.TRAIN.optimizer!r}")
-    if cfg.TRAIN.FLOW_WEIGHT_TYPE not in ("all", "viz", "valid"):
+    if cfg.TRAIN.FLOW_WEIGHT_TYPE not in ("all", "viz", "valid", "viz_visible"):
         raise ValueError(f"Unknown TRAIN.FLOW_WEIGHT_TYPE {cfg.TRAIN.FLOW_WEIGHT_TYPE!r}")
     if cfg.train_iter.SE3_PM_LOSS and cfg.train_iter.NUM_3D_SAMPLE <= 0:
         raise ValueError("SE3_PM_LOSS requires train_iter.NUM_3D_SAMPLE > 0")

@@ -177,7 +177,12 @@ class TestLoader:
     __test__ = False  # not a pytest class
 
     def __init__(self, pairdb: list[dict], cfg: Config, batch_size: int, num_workers: int = 2,
-                 decode_cache_mb: int = 4096):
+                 decode_cache_mb: int = 0):
+        # decode_cache_mb defaults OFF here (unlike TrainLoader): a test pass
+        # visits each image once, so a cache only accrues host RSS with a
+        # near-zero hit rate — on hosts already memory-pressured by the
+        # tunnel client's per-batch leak.  Enable it only when the pairdb
+        # revisits paths (e.g. repeated eval sweeps in one process).
         self.pairdb = pairdb
         self.cfg = cfg
         self.batch_size = batch_size

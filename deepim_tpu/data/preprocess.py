@@ -57,6 +57,13 @@ class DecodeCache:
         self.misses += 1
         out = fn()
         if self.bytes + out.nbytes <= self.budget:
+            # Cached entries are returned by reference (downstream consumers
+            # copy before mutating); freeze them so an accidental in-place
+            # edit raises instead of silently corrupting every later epoch.
+            # Note self.bytes can double-count under the benign two-thread
+            # same-key race (both decode, both insert) — an accounting
+            # over-estimate only, never a correctness issue.
+            out.flags.writeable = False
             self.data[key] = out
             self.bytes += out.nbytes
         return out

@@ -55,7 +55,22 @@ def load_checkpoint(prefix: str, epoch: int, state_like: TrainState, rename_map:
             "opt_state": state_like.opt_state,
             "step": np.asarray(state_like.step),
         }
-        restored = ckptr.restore(path, item=target)
+        try:
+            restored = ckptr.restore(path, item=target)
+        except Exception as e:
+            # The opt_state pytree STRUCTURE depends on TRAIN.skip_nonfinite
+            # (optax.apply_if_finite wraps the inner state), so a checkpoint
+            # saved with the flag on cannot restore into a template built
+            # with it off (and vice versa).  Surface the likely cause
+            # instead of orbax's raw structure-mismatch traceback — this
+            # bites the chunked-resume workflow first.
+            raise RuntimeError(
+                f"checkpoint restore failed for {path} with an optimizer-state "
+                "template mismatch; if the run config changed since the "
+                "checkpoint was saved, check TRAIN.skip_nonfinite (it wraps "
+                "opt_state in apply_if_finite and changes its structure) and "
+                "TRAIN.optimizer/grad_clip"
+            ) from e
     params = restored["params"]
     if rename_map:
         flat = jax.tree_util.tree_flatten_with_path(params)

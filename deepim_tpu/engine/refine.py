@@ -177,17 +177,35 @@ def tune_raster_for_bank(
     corners = np.take_along_axis(
         verts, faces.reshape(faces.shape[0], -1)[..., None], axis=1
     ).reshape(faces.shape[0], f_padded, 3, 3)
-    # True max pairwise corner distance (the rotation-invariant face
+    # Binning granularity: with csr_pack > 1 the rasterizer bins UNION
+    # bboxes of `pack` consecutive faces, so the budget must cover the
+    # worst-case pack-unit diameter (not the single-face one).
+    pack = 1
+    if rcfg.csr_pack > 1 and f_padded % rcfg.csr_pack == 0 \
+            and rcfg.csr_chunk % rcfg.csr_pack == 0:
+        pack = rcfg.csr_pack
+    n_units = f_padded // pack
+    c = corners.shape[0]
+    if pack > 1:
+        c4 = corners.reshape(c, n_units, pack, 3, 3)
+        v4 = fvalid.reshape(c, n_units, pack)
+        # Invalid (padded/degenerate) faces must not inflate the union —
+        # binning excludes them too.  Collapse their corners onto corner 0
+        # of the unit's first valid face (zero extra spread).
+        first = np.argmax(v4, axis=2)
+        ref = np.take_along_axis(
+            c4[:, :, :, 0, :], first[..., None, None], axis=2
+        )[:, :, 0]  # (C, U, 3)
+        corners = np.where(v4[..., None, None], c4, ref[:, :, None, None, :]).reshape(
+            c, n_units, pack * 3, 3
+        )
+        fvalid = v4.any(axis=2)
+    # True max pairwise corner distance (the rotation-invariant unit
     # diameter): per-axis spread under-estimates the camera-plane extent of
     # a diagonal face by up to sqrt(3), which made the budget bound only
     # empirically (not provably) conservative.
-    diam = np.maximum(
-        np.linalg.norm(corners[:, :, 0] - corners[:, :, 1], axis=-1),
-        np.maximum(
-            np.linalg.norm(corners[:, :, 1] - corners[:, :, 2], axis=-1),
-            np.linalg.norm(corners[:, :, 2] - corners[:, :, 0], axis=-1),
-        ),
-    )  # (C, F)
+    diffs = corners[:, :, :, None, :] - corners[:, :, None, :, :]
+    diam = np.linalg.norm(diffs, axis=-1).max(axis=(2, 3))  # (C, U)
     d = float(diam[fvalid].max()) if fvalid.any() else 0.0
     if k is not None:
         kk = np.asarray(k, np.float32).reshape(3, 3)
@@ -201,19 +219,19 @@ def tune_raster_for_bank(
     n_tiles = (-(-rcfg.height // th)) * (-(-rcfg.width // tw))
     span = (int(np.ceil(px / tw)) + 1) * (int(np.ceil(py / th)) + 1)
     s_needed = max(1, min(span, n_tiles))
-    s = min(s_needed, max(1, max_pairs_per_sample // f_padded))
+    s = min(s_needed, max(1, max_pairs_per_sample // n_units))
     if s < s_needed:
         from deepim_tpu.utils.logger import logger
 
         logger.warning(
-            "tune_raster_for_bank: exact CSR budget needs %d tiles/face but "
+            "tune_raster_for_bank: exact CSR budget needs %d tiles/unit but "
             "the %d-pair memory cap allows only %d; renders of faces wider "
             "than the budget will drop pairs (the rasterizer warns at "
             "runtime when that actually happens)",
             s_needed, max_pairs_per_sample, s,
         )
     return dataclasses.replace(
-        ecfg, raster=dataclasses.replace(rcfg, bin_pairs=f_padded * s)
+        ecfg, raster=dataclasses.replace(rcfg, bin_pairs=n_units * s)
     )
 
 
@@ -289,11 +307,13 @@ class Observation(NamedTuple):
 
 def render_at_pose(
     meshes: MeshBuffers, pose: jax.Array, k: jax.Array, ecfg: EngineConfig,
-    light: "LightParams | None" = None,
+    light: "LightParams | None" = None, with_stats: bool = False,
 ):
     """Render the batch at `pose` -> (image (B,3,H,W) RGB [0,255],
-    depth (B,1,H,W), mask (B,1,H,W)).  Gradients are stopped: rendering is a
-    label/input generator, as in the reference (SURVEY.md §7.4).
+    depth (B,1,H,W), mask (B,1,H,W)[, dropped int32 when with_stats]).
+    Gradients are stopped: rendering is a label/input generator, as in the
+    reference (SURVEY.md §7.4).  `dropped` is the rasterizer's CSR
+    truncated-pair counter (0 = exact render on every backend).
 
     With `light` (and mesh normals), vertex colors are lit with the
     reference's point-light model first (render/lighting.py)."""
@@ -311,18 +331,23 @@ def render_at_pose(
     if ecfg.texture_sampling and meshes.uv is not None and meshes.textures is not None and light is None:
         from deepim_tpu.render.rasterizer import rasterize_textured
 
-        rgb, depth = rasterize_textured(
+        rgb, depth, dropped = rasterize_textured(
             meshes.vertices, meshes.uv, meshes.textures,
             meshes.faces, meshes.face_valid, pose, k, ecfg.raster,
+            with_stats=True,
         )
     else:
-        rgb, depth = rasterize(
+        rgb, depth, dropped = rasterize(
             meshes.vertices, colors, meshes.faces, meshes.face_valid, pose, k,
             ecfg.raster, corners=corners, corner_colors=corner_colors,
+            with_stats=True,
         )
     rgb = jax.lax.stop_gradient(jnp.transpose(rgb, (0, 3, 1, 2)))
     depth = jax.lax.stop_gradient(depth[:, None])
-    return rgb, depth, render_mask(depth, ecfg.mask_thresh)
+    mask = render_mask(depth, ecfg.mask_thresh)
+    if with_stats:
+        return rgb, depth, mask, dropped
+    return rgb, depth, mask
 
 
 def refine_step(
@@ -354,8 +379,8 @@ def refine_step(
     t_means = jnp.asarray(ecfg.trans_means, jnp.float32)
     t_stds = jnp.asarray(ecfg.trans_stds, jnp.float32)
 
-    image_rendered, depth_rendered, mask_rendered = render_at_pose(
-        meshes, pose, k, ecfg, obs.light
+    image_rendered, depth_rendered, mask_rendered, raster_dropped = render_at_pose(
+        meshes, pose, k, ecfg, obs.light, with_stats=True
     )
 
     if ecfg.update_mask == "box_rendered":
@@ -434,6 +459,10 @@ def refine_step(
     aux = {
         "net": out,
         "mask_pred_full": mask_pred_full,
+        # CSR truncated-pair counter for THIS render (0 = exact).  Carried
+        # so every jitted driver can observe truncation on backends without
+        # debug-callback support (the tunneled TPU) — see rasterize().
+        "raster_dropped": raster_dropped,
         "rot": out["rot"],
         "trans": trans,
         "zoom_trans": out["trans"],
@@ -456,11 +485,14 @@ def refine(
     pose0: jax.Array,
     ecfg: EngineConfig,
     num_iters: int | None = None,
+    with_stats: bool = False,
 ):
     """Iterative refinement: `lax.scan` of refine_step (test_iter=4 default,
     TEST.test_iter).  Returns (pose_final (B,3,4), poses (num_iters, B,3,4))
     — all intermediate poses, matching pred_eval's per-iteration error tables
-    (tester.py:389-410)."""
+    (tester.py:389-410).  With `with_stats`, also a stats dict
+    {'raster_dropped': int32} (total CSR truncated pairs over all
+    iterations; 0 = every render was exact)."""
     n = num_iters if num_iters is not None else ecfg.num_iters
     carry_mask = ecfg.update_mask == "box_observed"
 
@@ -472,9 +504,11 @@ def refine(
         )
         if carry_mask and aux["mask_pred_full"] is not None:
             mask_state = aux["mask_pred_full"]
-        return (pose_new, mask_state), pose_new
+        return (pose_new, mask_state), (pose_new, aux["raster_dropped"])
 
-    (pose_final, _), poses = jax.lax.scan(
+    (pose_final, _), (poses, dropped) = jax.lax.scan(
         step, (pose0, obs.mask_observed), jnp.arange(n), length=n
     )
+    if with_stats:
+        return pose_final, poses, {"raster_dropped": jnp.sum(dropped)}
     return pose_final, poses

@@ -211,7 +211,8 @@ def pred_eval(
         if refine_jit is None:
             @jax.jit
             def refine_jit(params, obs, meshes, pose0):
-                return refine(params, model, obs, meshes, pose0, ecfg, num_iters)
+                return refine(params, model, obs, meshes, pose0, ecfg, num_iters,
+                              with_stats=True)[:3]
 
         t_data = t_net = 0.0
         for db, pairdb in class_dbs:
@@ -238,8 +239,18 @@ def pred_eval(
                 safe_pose0 = pose0.copy()
                 safe_pose0[sentinel] = np.eye(3, 4, dtype=np.float32)
                 safe_pose0[sentinel, 2, 3] = 1.0
-                _, poses = refine_jit(params, obs, meshes, jnp.asarray(safe_pose0))
-                poses = np.asarray(poses)  # (iters, B, 3, 4)
+                out = refine_jit(params, obs, meshes, jnp.asarray(safe_pose0))
+                poses = np.asarray(out[1])  # (iters, B, 3, 4)
+                if len(out) > 2:
+                    nd = int(np.asarray(out[2]["raster_dropped"]))
+                    if nd:
+                        # Loud on every backend (the in-jit debug-print only
+                        # works where host callbacks do): the CSR budget was
+                        # too small for these poses; results have holes.
+                        logger.warning(
+                            "rasterizer dropped %d face-tile pairs for class "
+                            "%s - raise RasterConfig.bin_pairs", nd, db.cur_class,
+                        )
                 t_net += time.time() - t0
                 for it in range(num_iters):
                     for j in range(valid):

@@ -21,7 +21,7 @@ from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, Observation, ref
 
 
 def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = None,
-                 init_iters: int = 0):
+                 init_iters: int = 0, with_stats: bool = False):
     """Build the jittable tracking function.
 
     Returns track(params, frames, meshes, k, pose0, masks_observed=None):
@@ -32,7 +32,10 @@ def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = N
       masks_observed: optional (T, B, 1, H, W); defaults to full-frame ones
         (the shipped update_mask='box_rendered' rebuilds the observed box
         from the current render every refinement iteration anyway).
-    -> (pose_final (B, 3, 4), poses (T, B, 3, 4)): the per-frame estimates.
+    -> (pose_final (B, 3, 4), poses (T, B, 3, 4)): the per-frame estimates;
+       with_stats adds {'raster_dropped': int32} (total CSR truncated pairs
+       over the whole track — 0 means every render was exact; nonzero means
+       the binning budget must be raised, see rasterize()).
 
     init_iters > 0 runs that many EXTRA refinement iterations on frame 0
     before the per-frame scan starts ("lock-on"): a detection-quality
@@ -49,6 +52,7 @@ def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = N
             t, b = frames.shape[0], frames.shape[1]
             masks_observed = jnp.ones((t, b, 1) + frames.shape[3:], frames.dtype)
 
+        dropped0 = jnp.zeros((), jnp.int32)
         if init_iters:
             obs0 = Observation(
                 image_observed=frames[0],
@@ -57,7 +61,9 @@ def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = N
                 depth_observed=None,
                 k=k,
             )
-            pose0, _ = refine(params, model, obs0, meshes, pose0, ecfg, init_iters)
+            pose0, _, st0 = refine(params, model, obs0, meshes, pose0, ecfg,
+                                   init_iters, with_stats=True)
+            dropped0 = st0["raster_dropped"]
 
         def step(pose, frame_and_mask):
             frame, mask = frame_and_mask
@@ -68,10 +74,15 @@ def make_tracker(model: Any, ecfg: EngineConfig, iters_per_frame: int | None = N
                 depth_observed=None,
                 k=k,
             )
-            pose_new, _ = refine(params, model, obs, meshes, pose, ecfg, n)
-            return pose_new, pose_new
+            pose_new, _, st = refine(params, model, obs, meshes, pose, ecfg, n,
+                                     with_stats=True)
+            return pose_new, (pose_new, st["raster_dropped"])
 
-        pose_final, poses = jax.lax.scan(step, pose0, (frames, masks_observed))
+        pose_final, (poses, dropped) = jax.lax.scan(
+            step, pose0, (frames, masks_observed)
+        )
+        if with_stats:
+            return pose_final, poses, {"raster_dropped": dropped0 + jnp.sum(dropped)}
         return pose_final, poses
 
     return track

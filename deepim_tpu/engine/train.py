@@ -171,7 +171,22 @@ def compute_losses(
             depth_rend, batch.depth_gt_observed, pose_src, batch.pose_observed, batch.k,
             standard_rep=ecfg.standard_flow_rep,
         )
-        weights = flow_weights_from_valid(gt_valid, flow_weight_type, depth_rend)
+        if flow_weight_type == "viz_visible":
+            # Occlusion-aware: additionally require the flow TARGET pixel to
+            # be VISIBLE in the observed frame (the per-pixel instance mask
+            # from -label.png) — flow_from_depth's depth consistency only
+            # checks against the object-alone gt depth, so occluder-covered
+            # correspondences would otherwise be supervised as visible.
+            from deepim_tpu.ops.flow import gather_at_flow_target
+
+            vis_tgt = gather_at_flow_target(
+                batch.mask_gt_observed[:, 0], gt_flow,
+                standard_rep=ecfg.standard_flow_rep,
+            )
+            gt_valid = gt_valid * vis_tgt
+            weights = flow_weights_from_valid(gt_valid, "viz", depth_rend)
+        else:
+            weights = flow_weights_from_valid(gt_valid, flow_weight_type, depth_rend)
         z_flow, z_weights = zoom_flow(gt_flow, zf, weights)
         flow_est = jnp.transpose(aux["net"]["flow"], (0, 3, 1, 2))
         fl = flow_loss(
@@ -188,6 +203,10 @@ def compute_losses(
         total = total + ml
 
     losses["total"] = total
+    # Observability, not a loss: CSR truncated-pair counter for this
+    # iteration's render (always 0 for a correctly tuned bank).  Rides the
+    # metrics dict so train_net can warn without an extra fetch.
+    losses["raster_dropped"] = aux["raster_dropped"]
     return total, (pose_new, losses)
 
 

@@ -86,6 +86,33 @@ def flow_from_depth_kt(
     return flow, valid.astype(depth_src.dtype)
 
 
+def gather_at_flow_target(
+    values: jax.Array, flow: jax.Array, *, standard_rep: bool = False
+) -> jax.Array:
+    """Sample `values` (B, H, W) at each source pixel's flow TARGET position
+    (nearest neighbor).  flow: (B, 2, H, W) in the configured channel order.
+
+    Used for occlusion-aware flow supervision (TRAIN.FLOW_WEIGHT_TYPE
+    'viz_visible'): the depth-consistency visibility of flow_from_depth
+    compares against the object-ALONE gt-observed depth
+    (gpu_flow_kernel.cu:56 semantics), so a correspondence whose target
+    pixel is covered by a DIFFERENT object in the real observed frame still
+    counts as visible — but the network cannot observe it.  Gathering the
+    per-pixel visible-instance mask (the -label.png class mask) at the
+    target position closes that gap.  Pixels with zero flow sample their
+    own location, so background/invalid pixels are unaffected (their weight
+    is already 0).
+    """
+    b, _, h, w = flow.shape
+    hh, ww = pixel_grid(h, w, flow.dtype)
+    dh = flow[:, 1] if standard_rep else flow[:, 0]
+    dw = flow[:, 0] if standard_rep else flow[:, 1]
+    h_c = jnp.clip(jnp.round(hh + dh).astype(jnp.int32), 0, h - 1)
+    w_c = jnp.clip(jnp.round(ww + dw).astype(jnp.int32), 0, w - 1)
+    flat_idx = (h_c * w + w_c).reshape(b, h * w)
+    return jnp.take_along_axis(values.reshape(b, h * w), flat_idx, axis=1).reshape(b, h, w)
+
+
 def flow_from_depth(
     depth_src: jax.Array,
     depth_tgt: jax.Array,

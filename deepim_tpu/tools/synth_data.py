@@ -31,15 +31,23 @@ ROT_NOISE_MAX_DEG = 45.0
 TRANS_NOISE_STD = (0.01, 0.01, 0.05)
 
 
-def sample_perturbed_pose(pose: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+def sample_perturbed_pose(
+    pose: np.ndarray,
+    rng: np.random.RandomState,
+    rot_std_deg: float = ROT_NOISE_STD_DEG,
+    rot_max_deg: float = ROT_NOISE_MAX_DEG,
+    trans_std: tuple = TRANS_NOISE_STD,
+) -> np.ndarray:
     """Perturb a gt pose with the reference's noise model
-    (LM6d_1_gen_rendered_pose.py:51-55)."""
+    (LM6d_1_gen_rendered_pose.py:51-55).  The std/max overrides support
+    near-convergence curricula (small-delta pairs for tracking precision
+    fine-tunes) — the defaults are the reference's PoseCNN-like model."""
     from scipy.spatial.transform import Rotation as R
 
-    ang = rng.normal(0, ROT_NOISE_STD_DEG, 3)
-    ang = np.clip(ang, -ROT_NOISE_MAX_DEG, ROT_NOISE_MAX_DEG)
+    ang = rng.normal(0, rot_std_deg, 3)
+    ang = np.clip(ang, -rot_max_deg, rot_max_deg)
     r_noise = R.from_euler("xyz", ang, degrees=True).as_matrix()
-    t_noise = rng.normal(0, TRANS_NOISE_STD, 3)
+    t_noise = rng.normal(0, trans_std, 3)
     out = pose.copy().astype(np.float32)
     out[:, :3] = r_noise @ pose[:, :3]
     out[:, 3] = pose[:, 3] + t_noise
@@ -59,8 +67,16 @@ def generate_dataset(
     depth_factor: float = 1000.0,
     z_range: tuple[float, float] = (0.5, 0.9),
     raster_cfg=None,
+    noise_mix: list | None = None,
 ) -> None:
-    """Render and write a complete LM6d_refine-layout dataset."""
+    """Render and write a complete LM6d_refine-layout dataset.
+
+    noise_mix: optional list of (weight, rot_std_deg, rot_max_deg,
+    (tx, ty, tz) std) tuples — each rendered init pose draws its noise model
+    from this distribution (weights normalized).  None = the reference's
+    single PoseCNN-like model.  A mix listing a small-delta model alongside
+    the standard one builds the near-convergence curriculum used by the
+    tracking-precision fine-tune (experiments/track_finetune.py)."""
     import cv2
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation as R
@@ -134,7 +150,12 @@ def generate_dataset(
 
             for kk in range(rendered_per_observed):
                 ridx = f"{idx}_{kk}"
-                rpose = sample_perturbed_pose(pose, rng)
+                if noise_mix:
+                    wts = np.array([m[0] for m in noise_mix], np.float64)
+                    _, rsd, rmd, tsd = noise_mix[rng.choice(len(noise_mix), p=wts / wts.sum())]
+                    rpose = sample_perturbed_pose(pose, rng, rsd, rmd, tsd)
+                else:
+                    rpose = sample_perturbed_pose(pose, rng)
                 rrgb, rdepth = rasterize_single(
                     verts, cols, faces, fvalid, jnp.asarray(rpose), jnp.asarray(k), cfg
                 )

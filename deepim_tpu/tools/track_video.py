@@ -45,9 +45,17 @@ def track_pairdb_sequence(
     cls_idx = jnp.asarray([list(db.classes).index(db.cur_class)], jnp.int32)
     meshes = MeshBuffers.gather(bank_arrays, cls_idx)
     k = jnp.asarray(cfg.dataset.intrinsic_matrix())
-    track = jax.jit(make_tracker(model, ecfg, iters_per_frame))
-    _, poses = track(params, frames, meshes, k, jnp.asarray(pose0[None]))
+    track = jax.jit(make_tracker(model, ecfg, iters_per_frame, with_stats=True))
+    _, poses, stats = track(params, frames, meshes, k, jnp.asarray(pose0[None]))
     poses = np.asarray(poses)[:, 0]  # (T, 3, 4)
+    nd = int(np.asarray(stats["raster_dropped"]))
+    if nd:
+        from deepim_tpu.utils.logger import logger
+
+        logger.warning(
+            "rasterizer dropped %d face-tile pairs during tracking - "
+            "renders had holes; raise RasterConfig.bin_pairs", nd,
+        )
 
     gt = np.stack(poses_gt)
     tr = np.einsum("tij,tij->t", poses[:, :, :3], gt[:, :, :3])

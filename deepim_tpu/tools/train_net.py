@@ -204,6 +204,16 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
                     for it in range(vals.shape[0]):
                         host_metrics[f"{k}/iter{it}"] = float(vals[it])
                     host_metrics[k] = float(vals[-1])
+            if host_metrics is not None and host_metrics.get("raster_dropped", 0) > 0:
+                # The render had holes this step: the CSR binning budget is
+                # too small for this mesh/pose (tune_raster_for_bank was
+                # bypassed or overridden).  Loud, works on every backend.
+                logger.warning(
+                    "rasterizer dropped %d face-tile pairs at epoch %d batch %d "
+                    "- renders have holes; raise RasterConfig.bin_pairs",
+                    int(sum(v for k, v in host_metrics.items()
+                            if k.startswith("raster_dropped/"))), epoch, nbatch,
+                )
             speedo(epoch, nbatch, host_metrics)
             if tb.enabled:
                 step = int(np.asarray(state_d.step))

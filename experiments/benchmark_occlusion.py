@@ -33,9 +33,12 @@ def main():
     ap.add_argument("--classes", type=int, default=13)
     ap.add_argument("--subdiv", type=int, default=3)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--train-scenes", type=int, default=64,
-                    help="occlusion training scenes (0 = zero-shot eval of the single-object checkpoint)")
-    ap.add_argument("--finetune-epochs", type=int, default=20)
+    ap.add_argument("--train-scenes", type=int, default=256,
+                    help="occlusion training scenes (0 = zero-shot eval of the "
+                    "single-object checkpoint).  Round-4's 64-scene/20-epoch "
+                    "fine-tune left refinement weak (+6 ADD pts at iter 1 vs "
+                    "+53 unoccluded); the r5 default quadruples coverage")
+    ap.add_argument("--finetune-epochs", type=int, default=40)
     ap.add_argument("--train-iter-size", type=int, default=4,
                     help="4 = the reference's RFMx4 protocol: the network "
                     "fine-tunes on its own iterated-mask distribution")
@@ -61,7 +64,10 @@ def main():
     train_devkit = os.path.join(
         tempfile.gettempdir(), f"bench13_{args.classes}c_{h}_{args.subdiv}"
     )
-    occ_devkit = train_devkit + "_occ"
+    # Scene counts are baked into the generated devkit; key the cache dir on
+    # them so changing --train-scenes/--n-scenes regenerates instead of
+    # silently reusing a stale layout.
+    occ_devkit = train_devkit + f"_occ{args.train_scenes}_{args.n_scenes}"
     meshes = make_benchmark_classes(args.classes, subdiv=args.subdiv)
     classes = sorted(meshes.keys())
     if not os.path.exists(os.path.join(occ_devkit, "image_set")):
@@ -135,6 +141,11 @@ def main():
                     "CHECKPOINT_INTERVAL": 5,
                     "RESUME": True, "begin_epoch": args.epochs,
                     "end_epoch": end_epoch,
+                    # Occlusion-aware flow supervision: weight by visibility
+                    # AND require the flow target to land on this object's
+                    # visible-instance mask (occluder pixels are unlearnable
+                    # correspondences; see ops/flow.gather_at_flow_target).
+                    "FLOW_WEIGHT_TYPE": "viz_visible",
                 },
             },
         )

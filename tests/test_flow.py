@@ -83,6 +83,40 @@ def test_flow_matches_cuda_port_translated(rng):
     np.testing.assert_allclose(got_f[0, 1, 8:16, 10:20][inner], 3.0, atol=0.1)
 
 
+def test_gather_at_flow_target_occlusion_gate(rng):
+    """'viz_visible' supervision: the visible-instance mask sampled at each
+    pixel's flow TARGET — a correspondence landing on an occluder-covered
+    target pixel gets weight 0 even though the object-alone depth check
+    passes (the gpu_flow_kernel.cu:56 semantics the reference uses)."""
+    from deepim_tpu.ops.flow import gather_at_flow_target
+
+    k, depth_src = make_scene(rng)
+    b, h, w = depth_src.shape
+    depth_tgt = np.roll(depth_src, 3, axis=2)  # scene shifted right 3 px
+    rel = np.tile(np.eye(3, 4, dtype=np.float32), (b, 1, 1))
+    rel[:, 0, 3] = 3.0 / 40.0
+    kt = np.einsum("ij,bjk->bik", k, rel).astype(np.float32)
+    flow, valid = map(np.asarray, flow_from_depth_kt(
+        jnp.asarray(depth_src), jnp.asarray(depth_tgt), jnp.asarray(kt),
+        jnp.asarray(np.linalg.inv(k).astype(np.float32))))
+    # Observed-frame visible mask: object's own shifted footprint, but an
+    # occluder covers target columns >= 20.
+    vis = (depth_tgt > 1e-3).astype(np.float32)
+    vis[:, :, 20:] = 0.0
+    vis_tgt = np.asarray(gather_at_flow_target(jnp.asarray(vis), jnp.asarray(flow)))
+    gated = valid * vis_tgt
+    # Pixels whose target column is < 20 keep their weight; ones landing in
+    # the occluded band lose it.
+    src_cols = np.arange(w)[None, None, :] + flow[:, 1]
+    landing_occ = (valid > 0) & (np.round(src_cols) >= 20)
+    landing_vis = (valid > 0) & (np.round(src_cols) < 20)
+    assert landing_occ.any() and landing_vis.any()
+    assert (gated[landing_occ] == 0).all()
+    assert (gated[landing_vis] == 1).all()
+    # Default (non-occlusion-aware) weights would keep all valid pixels.
+    assert (valid[landing_occ] == 1).all()
+
+
 def test_flow_from_poses_composition(rng):
     """flow_from_depth composes KT = K (pose_tgt pose_src^-1) (flow.py:29)."""
     k, depth_src = make_scene(rng)
