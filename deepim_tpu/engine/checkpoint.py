@@ -92,6 +92,37 @@ def _rename_tree(tree: Any, rename_map: dict[str, str]) -> Any:
     return tree
 
 
+def merge_matching_params(fresh: Any, loaded: Any) -> tuple[Any, list[str]]:
+    """Copy every leaf of `loaded` whose path AND shape match into `fresh`;
+    leaves missing or shape-mismatched keep the fresh init.
+
+    Cross-resolution transfer: the FlowNetS trunk, decoder and heads are
+    resolution-independent, but fc6 consumes the flattened conv6 feature
+    (deepIM_flownet.py:110-117), whose size scales with the frame — so a
+    256^2-trained checkpoint seeds a 480x640 model everywhere except fc6
+    (which relearns quickly next to pretrained features; this mirrors the
+    reference's fine-tune-from-pretrained-FlowNet regime,
+    deepim/train.py:165-195).  Returns (merged, skipped_path_list)."""
+    import jax.numpy as jnp
+
+    flat_loaded = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_leaves_with_path(loaded)
+    }
+    skipped: list[str] = []
+
+    def pick(path, leaf):
+        key = jax.tree_util.keystr(path)
+        src = flat_loaded.get(key)
+        if src is not None and tuple(np.shape(src)) == tuple(np.shape(leaf)):
+            return jnp.asarray(src, leaf.dtype) if hasattr(leaf, "dtype") else src
+        skipped.append(key)
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(pick, fresh)
+    return merged, skipped
+
+
 def latest_epoch(prefix: str) -> int | None:
     d = checkpoint_dir(prefix)
     if not os.path.isdir(d):

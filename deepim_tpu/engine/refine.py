@@ -135,7 +135,8 @@ class EngineConfig:
 
 
 def tune_raster_for_bank(
-    ecfg: EngineConfig, bank_arrays, k=None, max_pairs_per_sample: int = 4_000_000
+    ecfg: EngineConfig, bank_arrays, k=None, max_pairs_per_sample: int = 4_000_000,
+    z_min: float | None = None,
 ) -> EngineConfig:
     """Size the CSR binning pair budget from the bank's actual face geometry.
 
@@ -153,6 +154,23 @@ def tune_raster_for_bank(
     `max_pairs_per_sample` (giant-face CAD meshes at close znear) the
     budget is clamped and a host-side warning is logged — the rasterizer
     additionally counts and warns about actual dropped pairs at runtime.
+
+    Heavy-tailed meshes: a uniform budget is sized by the WORST unit, so a
+    few wide triangles force a huge slot range on every tiny unit (the
+    4M-pair cap then truncates).  When the per-unit spans vary by >2x the
+    tuner instead emits TIERED budgets (RasterConfig.csr_tiers): runs of
+    similar-span units each get their own budget.  Tiers compress well only
+    when the bank's faces are ordered by size bucket — see
+    mesh.order_faces_for_binning; an unordered mixed bank degrades to many
+    runs and falls back to the uniform worst-case budget.
+
+    z_min (optional): size screen spans at this camera depth instead of the
+    frustum znear.  The frustum bound is safe for any pose but wildly
+    conservative when the workload's objects never approach the near plane
+    (a 0.08 m face at znear 0.05 "could" span the screen); with z_min the
+    budget is exact for all poses with z >= z_min, and violations are
+    OBSERVABLE: rasterize's returned dropped-pair counter (asserted by
+    every production driver) catches any pose that truncates.
 
     No-op for configurations that resolve to dense binning (F <= 2048 under
     'auto', or binning='dense'), which has no per-face budget.
@@ -206,32 +224,79 @@ def tune_raster_for_bank(
     # empirically (not provably) conservative.
     diffs = corners[:, :, :, None, :] - corners[:, :, None, :, :]
     diam = np.linalg.norm(diffs, axis=-1).max(axis=(2, 3))  # (C, U)
-    d = float(diam[fvalid].max()) if fvalid.any() else 0.0
+    diam = np.where(fvalid, diam, 0.0)
+    if not fvalid.any():
+        return ecfg
     if k is not None:
         kk = np.asarray(k, np.float32).reshape(3, 3)
         fx, fy = float(kk[0, 0]), float(kk[1, 1])
     else:
         fx = fy = float(max(rcfg.width, rcfg.height))
-    px = d * (fx + 2.0 * rcfg.width) / rcfg.znear
-    py = d * (fy + 2.0 * rcfg.height) / rcfg.znear
+    zlo = max(rcfg.znear, z_min or 0.0)
     # The CSR path bins into its own fine tiles (csr_tile_h x csr_tile_w).
     th, tw = rcfg.csr_tile_h, rcfg.csr_tile_w
     n_tiles = (-(-rcfg.height // th)) * (-(-rcfg.width // tw))
-    span = (int(np.ceil(px / tw)) + 1) * (int(np.ceil(py / th)) + 1)
-    s_needed = max(1, min(span, n_tiles))
-    s = min(s_needed, max(1, max_pairs_per_sample // n_units))
-    if s < s_needed:
+    # Per-unit worst-case span; the budget at each unit index must cover
+    # EVERY class (the bank shares one face layout across classes).
+    d_u = diam.max(axis=0)  # (U,)
+    px = d_u * (fx + 2.0 * rcfg.width) / zlo
+    py = d_u * (fy + 2.0 * rcfg.height) / zlo
+    span_u = np.minimum(
+        (np.ceil(px / tw).astype(np.int64) + 1)
+        * (np.ceil(py / th).astype(np.int64) + 1),
+        n_tiles,
+    )
+    span_u = np.maximum(span_u, 1)
+    s_max = int(span_u.max())
+    if s_max <= 2 * max(1, int(span_u.min())) or n_units < 2:
+        # Near-uniform spans: the single-budget layout (historical path).
+        s = min(s_max, max(1, max_pairs_per_sample // n_units))
+        if s < s_max:
+            from deepim_tpu.utils.logger import logger
+
+            logger.warning(
+                "tune_raster_for_bank: exact CSR budget needs %d tiles/unit "
+                "but the %d-pair memory cap allows only %d; renders of faces "
+                "wider than the budget will drop pairs (the rasterizer warns "
+                "at runtime when that actually happens)",
+                s_max, max_pairs_per_sample, s,
+            )
+        return dataclasses.replace(
+            ecfg, raster=dataclasses.replace(rcfg, bin_pairs=n_units * s, csr_tiers=())
+        )
+    # Heavy-tailed spans: tiered budgets.  Quantize each unit's span to the
+    # next power-of-two level >= 8 and merge consecutive equal levels into
+    # runs; on a size-ordered bank this yields a handful of tiers.
+    lvl = np.maximum(8, 1 << np.ceil(np.log2(span_u)).astype(np.int64))
+    lvl = np.minimum(lvl, n_tiles)
+    tiers: list[tuple[int, int]] = []
+    run_lvl = int(lvl[0])
+    for i in range(1, n_units):
+        if int(lvl[i]) != run_lvl:
+            tiers.append((i, run_lvl))
+            run_lvl = int(lvl[i])
+    tiers.append((n_units, run_lvl))
+    total = sum((end - (tiers[i - 1][0] if i else 0)) * s for i, (end, s) in enumerate(tiers))
+    if len(tiers) > 16 or total > max_pairs_per_sample:
+        # Too fragmented (unordered bank) or still too big: collapse to the
+        # capped uniform budget and let the runtime counter police drops.
         from deepim_tpu.utils.logger import logger
 
+        s = min(s_max, max(1, max_pairs_per_sample // n_units))
         logger.warning(
-            "tune_raster_for_bank: exact CSR budget needs %d tiles/unit but "
-            "the %d-pair memory cap allows only %d; renders of faces wider "
-            "than the budget will drop pairs (the rasterizer warns at "
-            "runtime when that actually happens)",
-            s_needed, max_pairs_per_sample, s,
+            "tune_raster_for_bank: %d tier runs / %d total pairs exceed the "
+            "budget shape; falling back to a capped uniform %d tiles/unit "
+            "(order the bank's faces with mesh.order_faces_for_binning for "
+            "tight tiers)", len(tiers), total, s,
+        )
+        return dataclasses.replace(
+            ecfg, raster=dataclasses.replace(rcfg, bin_pairs=n_units * s, csr_tiers=())
         )
     return dataclasses.replace(
-        ecfg, raster=dataclasses.replace(rcfg, bin_pairs=n_units * s)
+        ecfg,
+        raster=dataclasses.replace(
+            rcfg, bin_pairs=int(total), csr_tiers=tuple(tiers)
+        ),
     )
 
 

@@ -94,10 +94,12 @@ def eval_flow_epe(
 ) -> dict:
     """Flow end-point-error evaluation (tester.py:340-377, :513-515;
     GT per par_generate_gt :530-569; accumulation per calc_EPE_one_pair
-    :572-589).  Runs one refinement step at the initial pose, un-zooms the
-    predicted flow to the full frame, and compares against the
-    depth-reprojection GT flow.  Reports mean EPE over all pixels, visible
-    pixels, and visible+background pixels."""
+    :572-589).  Runs the full TEST.test_iter refinement, un-zooms each
+    iteration's predicted flow to the full frame, and compares against the
+    depth-reprojection GT flow at that iteration's source pose.  Reports
+    mean EPE over all pixels, visible pixels, and visible+background pixels
+    — both PER ITERATION ('per_iter') and for iteration 1 (the top-level
+    keys, matching the reference's single-step statistics)."""
     from deepim_tpu.data.preprocess import load_depth, load_gt_observed_mask, resize_to
     from deepim_tpu.engine.refine import refine_step
     from deepim_tpu.ops.flow import flow_from_depth
@@ -105,16 +107,25 @@ def eval_flow_epe(
 
     ecfg = EngineConfig.from_config(cfg, train=False, bank_arrays=bank_arrays)
     nf = float(cfg.dataset.NORMALIZE_FLOW)
+    n_iter = max(1, cfg.TEST.test_iter)
 
     @jax.jit
-    def flow_step(params, obs, meshes, pose0):
-        _, aux = refine_step(params, model, obs, meshes, pose0, ecfg)
-        flow_zoom = jnp.transpose(aux["net"]["flow"], (0, 3, 1, 2)) * nf
-        flow_full = zoom_flow(flow_zoom, aux["zoom_factor"], inverse=True)
-        return flow_full, aux["depth_rendered"][:, 0]
+    def flow_steps(params, obs, meshes, pose0):
+        def step(pose, it):
+            pose_new, aux = refine_step(params, model, obs, meshes, pose, ecfg,
+                                        iter_index=it)
+            flow_zoom = jnp.transpose(aux["net"]["flow"], (0, 3, 1, 2)) * nf
+            flow_full = zoom_flow(flow_zoom, aux["zoom_factor"], inverse=True)
+            return pose_new, (flow_full, aux["depth_rendered"][:, 0], pose)
 
-    sums = {"epe_all": 0.0, "num_all": 0.0, "epe_viz": 0.0, "num_viz": 0.0,
-            "epe_vizbg": 0.0, "num_vizbg": 0.0}
+        _, ys = jax.lax.scan(step, pose0, jnp.arange(n_iter))
+        return ys  # (flows (I,B,2,H,W), depths (I,B,H,W), poses_src (I,B,3,4))
+
+    sums = [
+        {"epe_all": 0.0, "num_all": 0.0, "epe_viz": 0.0, "num_viz": 0.0,
+         "epe_vizbg": 0.0, "num_vizbg": 0.0}
+        for _ in range(n_iter)
+    ]
     for db, pairdb in class_dbs:
         loader = TestLoader(pairdb, cfg, batch_size)
         recs_iter = iter(pairdb)
@@ -135,52 +146,66 @@ def eval_flow_epe(
             safe_pose0 = pose0.copy()
             safe_pose0[sentinel] = np.eye(3, 4, dtype=np.float32)
             safe_pose0[sentinel, 2, 3] = 1.0
-            flow_pred, depth_rend = flow_step(params, obs, meshes, jnp.asarray(safe_pose0))
-            flow_pred = np.asarray(flow_pred)
-            depth_rend = np.asarray(depth_rend)
+            flow_pred, depth_rend, poses_src = flow_steps(
+                params, obs, meshes, jnp.asarray(safe_pose0)
+            )
+            flow_pred = np.asarray(flow_pred)    # (I, B, 2, H, W)
+            depth_rend = np.asarray(depth_rend)  # (I, B, H, W)
+            poses_src = np.asarray(poses_src)    # (I, B, 3, 4)
             for j in range(valid):
                 rec = next(recs_iter)
                 if sentinel[j]:
                     continue
                 # GT flow from the rendered depth and the (masked) gt-observed
-                # depth (par_generate_gt, tester.py:530-569).
+                # depth (par_generate_gt, tester.py:530-569), per iteration at
+                # that iteration's SOURCE pose.
                 d_obs = load_depth(rec["depth_gt_observed"], cfg.dataset.DEPTH_FACTOR)
                 label = load_gt_observed_mask(rec, cfg.dataset.DEPTH_FACTOR)
                 # Stored depths are at the devkit's native resolution; bring
                 # them to SCALES when they differ (same resize the train-side
                 # sample builder applies, preprocess.make_train_sample).
-                if d_obs.shape != depth_rend[j].shape:
+                if d_obs.shape != depth_rend[0, j].shape:
                     ts, ms = cfg.SCALES[0]
                     d_obs = resize_to(d_obs, ts, ms)[0]
                     label = (resize_to(label, ts, ms)[0] >= 0.5).astype(np.float32)
                 d_obs = d_obs * (label > 0)
                 gt_flow, gt_valid = flow_from_depth(
-                    jnp.asarray(depth_rend[j : j + 1]),
-                    jnp.asarray(d_obs[None]),
-                    jnp.asarray(rec["pose_rendered"][None]),
-                    jnp.asarray(rec["pose_observed"][None]),
+                    jnp.asarray(depth_rend[:, j]),
+                    jnp.asarray(np.tile(d_obs[None], (n_iter, 1, 1))),
+                    jnp.asarray(poses_src[:, j]),
+                    jnp.asarray(np.tile(rec["pose_observed"][None], (n_iter, 1, 1))),
                     jnp.asarray(batch["k"]),
                     standard_rep=cfg.network.STANDARD_FLOW_REP,
                 )
-                gt_flow = np.asarray(gt_flow)[0]
-                visible = np.asarray(gt_valid)[0] > 0
-                bg = np.logical_and(~visible, depth_rend[j] == 0)
-                diff = np.sqrt(np.sum(np.square(gt_flow - flow_pred[j]), axis=0))
-                sums["epe_all"] += diff.sum()
-                sums["num_all"] += diff.size
-                sums["epe_viz"] += diff[visible].sum()
-                sums["num_viz"] += visible.sum()
-                vizbg = np.logical_or(visible, bg)
-                sums["epe_vizbg"] += diff[vizbg].sum()
-                sums["num_vizbg"] += vizbg.sum()
-    out = {
-        "epe_all": sums["epe_all"] / max(sums["num_all"], 1.0),
-        "epe_viz": sums["epe_viz"] / max(sums["num_viz"], 1.0),
-        "epe_vizbg": sums["epe_vizbg"] / max(sums["num_vizbg"], 1.0),
-    }
-    logger.info("EPE all: %.4f", out["epe_all"])
-    logger.info("EPE ignore unvisible: %.4f", out["epe_vizbg"])
-    logger.info("EPE visible: %.4f", out["epe_viz"])
+                gt_flow = np.asarray(gt_flow)        # (I, 2, H, W)
+                gt_valid = np.asarray(gt_valid) > 0  # (I, H, W)
+                for it in range(n_iter):
+                    visible = gt_valid[it]
+                    bg = np.logical_and(~visible, depth_rend[it, j] == 0)
+                    diff = np.sqrt(np.sum(np.square(gt_flow[it] - flow_pred[it, j]), axis=0))
+                    s = sums[it]
+                    s["epe_all"] += diff.sum()
+                    s["num_all"] += diff.size
+                    s["epe_viz"] += diff[visible].sum()
+                    s["num_viz"] += visible.sum()
+                    vizbg = np.logical_or(visible, bg)
+                    s["epe_vizbg"] += diff[vizbg].sum()
+                    s["num_vizbg"] += vizbg.sum()
+    per_iter = [
+        {
+            "epe_all": s["epe_all"] / max(s["num_all"], 1.0),
+            "epe_viz": s["epe_viz"] / max(s["num_viz"], 1.0),
+            "epe_vizbg": s["epe_vizbg"] / max(s["num_vizbg"], 1.0),
+        }
+        for s in sums
+    ]
+    out = dict(per_iter[0])
+    out["per_iter"] = per_iter
+    for it, row in enumerate(per_iter):
+        logger.info(
+            "EPE iter %d: all %.4f, ignore-unvisible %.4f, visible %.4f",
+            it + 1, row["epe_all"], row["epe_vizbg"], row["epe_viz"],
+        )
     return out
 
 

@@ -439,6 +439,80 @@ def make_benchmark_classes(n: int = 13, subdiv: int = 3) -> dict:
     return out
 
 
+def merge_meshes(meshes: list[Mesh]) -> Mesh:
+    """Concatenate meshes into one (face ids offset per part; colors kept).
+    Face ordering stays part-major, so consecutive face ids remain spatially
+    coherent within each part (what csr_pack binning exploits)."""
+    verts, faces, cols = [], [], []
+    off = 0
+    for m in meshes:
+        verts.append(m.vertices)
+        faces.append(m.faces + off)
+        cols.append(m.colors)
+        off += m.num_vertices
+    return Mesh(
+        vertices=np.concatenate(verts).astype(np.float32),
+        faces=np.concatenate(faces).astype(np.int32),
+        colors=np.concatenate(cols).astype(np.float32),
+    )
+
+
+def order_faces_for_binning(mesh: Mesh) -> Mesh:
+    """Reorder faces into descending size buckets (factor-2 diameter bands,
+    stable within a band) for the CSR rasterizer's tiered budgets.
+
+    tune_raster_for_bank emits per-RUN budgets (RasterConfig.csr_tiers), so
+    similar-size faces must be contiguous; stable sort keeps the original
+    order inside each band, preserving the spatial coherence csr_pack's
+    union-bbox binning relies on.  Only face ORDER changes — coverage and
+    depth are identical; exact z-ties (shared edges of coplanar neighbors)
+    may resolve to a different face id, which interpolates the same
+    attributes on the shared edge.  Apply before MeshBank.from_meshes for
+    heavy-tailed meshes (real scans, make_mixed_detail_mesh)."""
+    c = mesh.vertices[mesh.faces]  # (F, 3, 3)
+    d = np.maximum(
+        np.linalg.norm(c[:, 0] - c[:, 1], axis=-1),
+        np.maximum(
+            np.linalg.norm(c[:, 1] - c[:, 2], axis=-1),
+            np.linalg.norm(c[:, 2] - c[:, 0], axis=-1),
+        ),
+    )
+    d_max = max(float(d.max()), 1e-12)
+    band = np.ceil(np.log2(d_max / np.maximum(d, 1e-12))).astype(np.int64)
+    order = np.argsort(band, kind="stable")
+    out = Mesh(
+        vertices=mesh.vertices, faces=mesh.faces[order].copy(),
+        colors=mesh.colors, normals=mesh.normals, uv=mesh.uv, texture=mesh.texture,
+    )
+    return out
+
+
+def make_mixed_detail_mesh(seed: int = 0) -> Mesh:
+    """Heavy-tailed triangle-size scene mesh (~20.9k faces): an icosphere
+    union mixing subdiv-5 (~2 px faces at the benchmark z — the LINEMOD
+    bulk), subdiv-2 (~15-25 px) and subdiv-1 (~30-60 px) parts.  The uniform
+    20k-face benchmark icosphere has near-constant face sizes, which is the
+    FRIENDLY case for the CSR per-unit tile budget; real scan meshes mix
+    scales (load_object_points.py:11-25-scale assets), and a few wide
+    triangles both inflate the uniform per-unit budget (it is sized from the
+    worst unit) and serialize long per-tile worklists.  This mesh is the
+    benchmark stand-in for that regime (VERDICT r4 weak #5)."""
+    rng = np.random.RandomState(seed)
+    parts = [
+        make_icosphere(0.045, 5),   # 20480 tiny faces
+        make_icosphere(0.058, 2),   # 320 mid faces
+        make_icosphere(0.072, 1),   # 80 wide faces
+    ]
+    # Offset the coarser shells so all three are partially visible (the big
+    # faces must actually rasterize, not hide inside the detailed shell).
+    parts[1].vertices = parts[1].vertices + np.float32([0.035, 0.012, 0.0])
+    parts[2].vertices = parts[2].vertices + np.float32([-0.038, -0.015, 0.01])
+    for i, m in enumerate(parts):
+        hue = rng.uniform(80, 220, 3).astype(np.float32)
+        m.colors = np.clip(m.colors * 0.5 + hue, 0, 255).astype(np.float32)
+    return order_faces_for_binning(merge_meshes(parts))
+
+
 def make_icosphere(radius: float = 0.05, subdiv: int = 2) -> Mesh:
     """Icosphere for rasterizer tests (many small triangles)."""
     t = (1.0 + np.sqrt(5.0)) / 2.0

@@ -331,8 +331,22 @@ def _csr_planes_kernel(nh_ref, init_ref, fin_ref, row_ref, x0_ref, y0_ref, blk_r
             rgb.append(ca * dx + cb * dy + c0)
         r, g, b = rgb
 
-        # --- lexicographic (max qi, min fid) tournament: log2(CH) halvings ---
+        # --- lexicographic (max qi, min fid) tournament: log2 halvings.
+        # CH need not be a power of two (the default chunk is 192); pad the
+        # candidate rows to the next power of two with miss lanes
+        # (q = _NEG, fid = _BIG) — the merge's (q > _NEG) hit gate keeps
+        # them out of the accumulator.  Static Python, free when CH is
+        # already a power of two. ---
         n = ch
+        pow2 = 1 << (n - 1).bit_length()
+        if pow2 != n:
+            pad = pow2 - n
+            q = jnp.concatenate([q, jnp.full((pad, lanes), _NEG, jnp.float32)], 0)
+            f = jnp.concatenate([f, jnp.full((pad, lanes), _BIG, jnp.float32)], 0)
+            r = jnp.concatenate([r, jnp.zeros((pad, lanes), jnp.float32)], 0)
+            g = jnp.concatenate([g, jnp.zeros((pad, lanes), jnp.float32)], 0)
+            b = jnp.concatenate([b, jnp.zeros((pad, lanes), jnp.float32)], 0)
+            n = pow2
         while n > 1:
             h = n // 2
             qa_, qb_ = q[:h], q[h:n]

@@ -114,11 +114,14 @@ class RasterConfig:
     # bbox splits for the ~2 px faces; experiments/ab_raster.py, r4).
     csr_tile_h: int = 16
     csr_tile_w: int = 8
-    # csr chunk length (faces per kernel grid step); multiple of 8.  64
-    # halves the per-tile chunk padding the record gather pays vs 128
-    # (avg tile counts are ~100-200 at LINEMOD density); 32 doubles the
-    # grid overhead and loses (ab_raster.py, r4).
-    csr_chunk: int = 64
+    # csr chunk length (faces per kernel grid step); multiple of 8 and of
+    # csr_pack.  With quad packing (csr_pack=4, the default) chunks count
+    # csr_chunk/4 UNITS; 192 faces (48 units) measured best on v5e at
+    # LINEMOD density (8.0 ms vs 9.45 per batch-8 render; 256 -> 8.4,
+    # 128 -> 9.7; results/ab_raster_r5.jsonl).  At csr_pack=1 the round-4
+    # measurement holds: 64 beats 128 (per-tile chunk padding) and 32
+    # (grid overhead).
+    csr_chunk: int = 192
     # CSR z-kernel generation.  'slots8' packs 8 faces across sublanes with
     # the full 25-column record table pre-built in XLA; 'planes64' consumes
     # a raw projected-corner pack (4 contiguous block copies instead of the
@@ -164,8 +167,20 @@ class RasterConfig:
     # when consecutive face ids are spatially coherent (subdivision
     # icospheres, scan meshes; MeshBank can Morton-order faces otherwise).
     # Requires padded F to be a multiple of pack; falls back to the largest
-    # power-of-two divisor otherwise.
-    csr_pack: int = 1
+    # power-of-two divisor otherwise.  Default 4: -15% composed render time
+    # at LINEMOD scale (results/ab_raster_r5.jsonl), bit-identical images.
+    csr_pack: int = 4
+    # Tiered per-unit budgets for heavy-tailed triangle-size meshes:
+    # ((unit_end_0, s_0), (unit_end_1, s_1), ...) — units [prev_end,
+    # unit_end) get budget s tiles each; the last unit_end must equal the
+    # unit count.  () = the uniform bin_pairs budget.  A uniform budget is
+    # sized by the WORST unit, so one 60 px triangle forces every ~2 px
+    # unit to carry a hundreds-of-tiles slot range (a 100x static sort/
+    # enumeration blow-up on mixed meshes); tiers size each run of
+    # similar-size units separately.  Produced by tune_raster_for_bank on
+    # banks whose faces are ordered by size bucket
+    # (mesh.order_faces_for_binning); static config, hashable.
+    csr_tiers: tuple = ()
 
     @property
     def tiles_y(self) -> int:
@@ -349,22 +364,50 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
         by1 = jnp.max(jnp.where(okr, by1.reshape(u, pack), 0), axis=1)
         ok = jnp.any(okr, axis=1)
     f = nfaces // pack  # binning units from here on
-    s = min(max(cfg.bin_pairs // f, 1), n_tiles) if cfg.bin_pairs else min(8, n_tiles)
-    n = f * s
 
     wbb = jnp.maximum(bx1 - bx0 + 1, 1)
     span = wbb * (by1 - by0 + 1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (f, s), 1)
-    fidx = jax.lax.broadcasted_iota(jnp.int32, (f, s), 0)
-    pair_ok = ok[:, None] & (slot < span[:, None])
-    tile = (
-        (by0[:, None] + slot // wbb[:, None]) * t_x + bx0[:, None] + slot % wbb[:, None]
-    )
-    tile = jnp.clip(tile, 0, n_tiles - 1)
-    # Packed sort key: tile-major, face ascending within tile.  Keys are
-    # unique (one pair per (tile, face)), so an unstable sort is exact and
-    # cheaper than jnp.sort's stable default.
-    key = jnp.where(pair_ok, tile * f + fidx, n_tiles * f).reshape(n)
+
+    def tier_keys(u0, u1, s_t):
+        """Enumerate (tile, unit) pair keys for units [u0, u1) with budget
+        s_t slots per unit; also that tier's dropped-pair count."""
+        m = u1 - u0
+        slot = jax.lax.broadcasted_iota(jnp.int32, (m, s_t), 1)
+        uidx = u0 + jax.lax.broadcasted_iota(jnp.int32, (m, s_t), 0)
+        okm, spanm = ok[u0:u1], span[u0:u1]
+        wbbm = wbb[u0:u1, None]
+        pair_ok = okm[:, None] & (slot < spanm[:, None])
+        tile = (
+            (by0[u0:u1, None] + slot // wbbm) * t_x
+            + bx0[u0:u1, None] + slot % wbbm
+        )
+        tile = jnp.clip(tile, 0, n_tiles - 1)
+        # Packed sort key: tile-major, unit ascending within tile.  Keys
+        # are unique (one pair per (tile, unit)), so an unstable sort is
+        # exact and cheaper than jnp.sort's stable default.
+        k = jnp.where(pair_ok, tile * f + uidx, n_tiles * f).reshape(m * s_t)
+        d = jnp.sum(jnp.where(okm, jnp.maximum(spanm - s_t, 0), 0))
+        return k, d
+
+    if cfg.csr_tiers:
+        ends = [int(e) for e, _ in cfg.csr_tiers]
+        assert ends[-1] == f, (
+            f"csr_tiers cover {ends[-1]} units but the mesh has {f} "
+            "(padded faces / csr_pack changed since tune_raster_for_bank)"
+        )
+        keys, drops = [], []
+        u0 = 0
+        for u1, s_t in cfg.csr_tiers:
+            k, d = tier_keys(u0, int(u1), min(int(s_t), n_tiles))
+            keys.append(k)
+            drops.append(d)
+            u0 = int(u1)
+        key = jnp.concatenate(keys)
+        dropped = sum(drops)
+    else:
+        s = min(max(cfg.bin_pairs // f, 1), n_tiles) if cfg.bin_pairs else min(8, n_tiles)
+        key, dropped = tier_keys(0, f, s)
+    n = key.shape[0]
     (key,) = jax.lax.sort((key,), is_stable=False)
     sorted_face = jnp.where(key < n_tiles * f, key % f, f)
     # Per-tile counts via a two-level int8 one-hot matmul histogram
@@ -377,8 +420,10 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
     # out of the histogram and sort past every valid key, so the exclusive
     # cumsum of counts equals searchsorted(sorted_tile, arange(T), 'left').
     hi_n = -(-n_tiles // 64)
-    tile_flat = tile.reshape(n)
-    ok_flat = pair_ok.reshape(n)
+    # Sentinel (invalid) pairs carry key = n_tiles * f, so key // f maps
+    # them to tile id n_tiles — outside every hi one-hot column — which
+    # masks them out of the histogram without a separate validity operand.
+    tile_flat = key // f
     # Slab the one-hot operands over the pair axis: a single (n, hi_n + 64)
     # int8 pass at tuner-sized budgets (multi-M pairs) can demand GBs of
     # transient HBM; 256k-pair slabs bound the working set and the int32
@@ -387,9 +432,7 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
     counts2d = jnp.zeros((hi_n, 64), jnp.int32)
     for st in range(0, n, slab):
         tf = tile_flat[st:min(st + slab, n)]
-        okf = ok_flat[st:min(st + slab, n)]
-        oh_hi = ((tf[:, None] // 64 == jnp.arange(hi_n, dtype=jnp.int32)[None, :])
-                 & okf[:, None]).astype(jnp.int8)
+        oh_hi = (tf[:, None] // 64 == jnp.arange(hi_n, dtype=jnp.int32)[None, :]).astype(jnp.int8)
         oh_lo = (tf[:, None] % 64 == jnp.arange(64, dtype=jnp.int32)[None, :]).astype(jnp.int8)
         counts2d = counts2d + jax.lax.dot_general(
             oh_hi, oh_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -400,7 +443,6 @@ def bin_faces_csr(fu, fv, valid, cfg: RasterConfig, th=None, tw=None):
     # a 1k cap).
     counts = counts2d.reshape(hi_n * 64)[:n_tiles]
     offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-    dropped = jnp.sum(jnp.where(ok, jnp.maximum(span - s, 0), 0))
     return sorted_face.astype(jnp.int32), offsets, counts, dropped
 
 

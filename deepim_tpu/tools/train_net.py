@@ -126,7 +126,15 @@ def init_pretrained(cfg: Config, params):
     )
 
 
-def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None = None) -> TrainState:
+def train_net(
+    cfg: Config,
+    output_dir: str | None = None,
+    n_devices: int | None = None,
+    init_params=None,
+) -> TrainState:
+    """`init_params` (optional): use these parameters instead of the fresh
+    init / network.pretrained import — e.g. a cross-resolution seed built
+    with engine.checkpoint.merge_matching_params.  Ignored when resuming."""
     if output_dir is None:
         output_dir = create_logger(cfg.output_path, cfg.TRAIN.model_prefix, cfg.dataset.image_set)
     dbs, pairdb = load_pairdbs(cfg)
@@ -140,7 +148,10 @@ def train_net(cfg: Config, output_dir: str | None = None, n_devices: int | None 
     epoch_size = loader.epoch_size
 
     model, params = build_model(cfg)
-    if cfg.network.pretrained and not cfg.network.skip_initialize:
+    if init_params is not None:
+        params = init_params
+        logger.info("initialized from caller-provided params")
+    elif cfg.network.pretrained and not cfg.network.skip_initialize:
         params = init_pretrained(cfg, params)
         logger.info("initialized from pretrained %s", cfg.network.pretrained)
     schedule = warmup_multifactor_schedule(

@@ -27,11 +27,19 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--n-train", type=int, default=256, help="train pairs per class")
     ap.add_argument("--n-val", type=int, default=32, help="val pairs per class")
-    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--size", type=int, default=128, help="frame height (and width unless --width)")
+    ap.add_argument("--width", type=int, default=0,
+                    help="frame width (0 = square --size x --size); 640 with "
+                    "--size 480 is the reference's full resolution "
+                    "(deepim_flownet_LM_SIXD_v1_..._RFMx4_8epoch.yaml)")
     ap.add_argument("--classes", type=int, default=13)
     ap.add_argument("--subdiv", type=int, default=3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lw-flow", type=float, default=0.25,
+                    help="flow-loss weight (0 disables flow supervision - "
+                    "the LW_FLOW A/B interrogating whether the auxiliary "
+                    "flow loss helps the SE(3) heads)")
     ap.add_argument("--train-iter-size", type=int, default=2,
                     help="iterated-training depth; 4 = the reference's RFMx4 "
                     "protocol (deepim_flownet_LM_SIXD_v1_..._RFMx4_8epoch.yaml:58)")
@@ -44,6 +52,13 @@ def main():
                     "transferred batch; a process restart is the bound)")
     ap.add_argument("--resume-epoch", type=int, default=0,
                     help="resume training from this epoch's checkpoint")
+    ap.add_argument("--seed-convs", default=None,
+                    help="checkpoint PREFIX path (e.g. /tmp/bench13_13c_256_3/"
+                    "run/bench13) whose resolution-independent params seed "
+                    "this run (fc6 depends on the frame size and keeps the "
+                    "fresh init) — cross-resolution transfer for the 480x640 "
+                    "protocol run")
+    ap.add_argument("--seed-epoch", type=int, default=60)
     args = ap.parse_args()
 
     from deepim_tpu.config import Config, update_config_dict
@@ -53,10 +68,12 @@ def main():
     from deepim_tpu.tools.test_net import test_deepim
     from deepim_tpu.tools.train_net import train_net
 
-    h = w = args.size
+    h = args.size
+    w = args.width or args.size
     k = np.array([[1.35 * h, 0.0, w / 2], [0.0, 1.35 * h, h / 2], [0.0, 0.0, 1.0]], np.float32)
     devkit = args.out or os.path.join(
-        tempfile.gettempdir(), f"bench13_{args.classes}c_{h}_{args.subdiv}"
+        tempfile.gettempdir(),
+        f"bench13_{args.classes}c_{h}_{args.subdiv}" + (f"x{w}" if args.width else ""),
     )
     meshes = make_benchmark_classes(args.classes, subdiv=args.subdiv)
     classes = sorted(meshes.keys())
@@ -88,13 +105,13 @@ def main():
             },
             "train_iter": {
                 "SE3_PM_LOSS": True, "LW_PM": 1.0, "NUM_3D_SAMPLE": 512,
-                "LW_FLOW": 0.25,
+                "LW_FLOW": args.lw_flow,
                 # The mask BCE is pixel-SUMMED (reference grad_scale
                 # semantics, deepIM_flownet.py:342-347), so its gradient
                 # scales with frame area; keep the 128^2-proven effective
                 # weight at any size (the unscaled 0.01 at 256^2 was enough
                 # mask-head pressure to blow up from-scratch training).
-                "LW_MASK": 0.01 * (128.0 / args.size) ** 2,
+                "LW_MASK": 0.01 * (128.0 * 128.0) / (h * w),
             },
             "TRAIN": {
                 "optimizer": "adam",
@@ -122,7 +139,20 @@ def main():
                                 TrainState(params, None, 0))
         params = state.params
     else:
-        state = train_net(cfg, output_dir=run_dir)
+        init_params = None
+        if args.seed_convs and args.resume_epoch == 0:
+            from deepim_tpu.engine.checkpoint import load_checkpoint, merge_matching_params
+            from deepim_tpu.engine.train import TrainState
+            from deepim_tpu.tools.train_net import build_model
+
+            _, fresh = build_model(cfg)
+            seeded = load_checkpoint(args.seed_convs, args.seed_epoch,
+                                     TrainState(None, None, 0))
+            init_params, skipped = merge_matching_params(fresh, seeded.params)
+            print("seeded convs from %s epoch %d (fresh: %s)" % (
+                args.seed_convs, args.seed_epoch, ", ".join(skipped) or "none"),
+                flush=True)
+        state = train_net(cfg, output_dir=run_dir, init_params=init_params)
         params = state.params
     if args.train_only:
         print("train-only: stopped after epoch", args.epochs, flush=True)

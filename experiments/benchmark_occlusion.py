@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--train-iter-size", type=int, default=4,
                     help="4 = the reference's RFMx4 protocol: the network "
                     "fine-tunes on its own iterated-mask distribution")
+    ap.add_argument("--resume-epoch", type=int, default=0,
+                    help="resume the fine-tune from this epoch's checkpoint "
+                    "(> --epochs; chunked runs bound the tunnel client's "
+                    "per-batch host-memory leak)")
+    ap.add_argument("--train-only", action="store_true",
+                    help="train (or resume) and exit before evaluation")
     ap.add_argument("--ft-mask", default="box_rendered",
                     choices=["box_rendered", "box_gt"],
                     help="fine-tune INIT/UPDATE mask strategy.  box_rendered "
@@ -139,7 +145,8 @@ def main():
                     "INIT_MASK": args.ft_mask, "UPDATE_MASK": args.ft_mask,
                     "MASK_DILATE": True, "model_prefix": "occ13",
                     "CHECKPOINT_INTERVAL": 5,
-                    "RESUME": True, "begin_epoch": args.epochs,
+                    "RESUME": True,
+                    "begin_epoch": max(args.epochs, args.resume_epoch),
                     "end_epoch": end_epoch,
                     # Occlusion-aware flow supervision: weight by visibility
                     # AND require the flow target to land on this object's
@@ -153,6 +160,9 @@ def main():
             os.makedirs(os.path.dirname(seed_dst), exist_ok=True)
             shutil.copytree(seed_src, seed_dst)
         state = train_net(cfg_ft, output_dir=out_dir)
+        if args.train_only:
+            print("train-only: stopped after epoch", end_epoch, flush=True)
+            return
         cfg = update_config_dict(cfg, {"TEST": {"test_epoch": end_epoch}})
     else:
         state = load_checkpoint(os.path.join(run_dir, "bench13"), args.epochs,

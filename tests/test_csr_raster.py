@@ -158,10 +158,14 @@ def test_production_path_big_face_mesh():
         ),
     )
     ecfg = tune_raster_for_bank(ecfg, bank_arrays, K_MAT)
-    assert ecfg.raster.bin_pairs >= bank.faces.shape[1] * n_fine
-
+    # The tuner may emit either a uniform every-unit-covers-every-tile
+    # budget or a tiered one (valid cube units get full coverage, the
+    # invalid padding tail a minimal slot range); exactness is what
+    # matters: zero dropped pairs and XLA-identical output below.
     k = jnp.asarray(K_MAT)
-    rgb_c, depth_c = rasterize(verts, cols, faces, fval, pose, k, ecfg.raster)
+    rgb_c, depth_c, dropped_c = rasterize(verts, cols, faces, fval, pose, k,
+                                          ecfg.raster, with_stats=True)
+    assert int(dropped_c) == 0
     xla_cfg = dataclasses.replace(ecfg.raster, use_pallas=False)
     rgb_x, depth_x = rasterize(verts, cols, faces, fval, pose, k, xla_cfg)
     assert (np.asarray(depth_c) > 0).mean() > 0.05
@@ -210,8 +214,10 @@ def test_bin_faces_csr_exact_pairs(rng):
     valid = jnp.asarray(rng.rand(f) > 0.2)
     # Giant random triangles span many tiles: give the pair list the full
     # T*F worst-case budget so nothing is dropped (the 4*F default targets
-    # small faces).
-    cfg = replace(BASE, bin_pairs=BASE.num_tiles * f)
+    # small faces).  csr_pack=1: this test checks the exact per-FACE pair
+    # semantics against the dense overlap matrix (unit-level equivalence is
+    # covered by test_csr_pack_matches_pack1).
+    cfg = replace(BASE, bin_pairs=BASE.num_tiles * f, csr_pack=1)
     tile_faces, counts_d = bin_faces(fu, fv, valid, cfg)
     sorted_face, offsets, counts_s, dropped = bin_faces_csr(fu, fv, valid, cfg)
     assert int(dropped) == 0  # full budget: nothing truncated
@@ -386,6 +392,59 @@ def test_rasterize_returns_dropped_counter():
     ecfg = EngineConfig(height=BASE.height, width=BASE.width, raster=starved)
     _, _, _, nd = render_at_pose(mb, pose, k, ecfg, with_stats=True)
     assert int(nd) == int(dropped)
+
+
+def test_csr_tiers_match_uniform_on_mixed_mesh():
+    """Tiered per-unit budgets (csr_tiers) on a heavy-tailed mesh must
+    reproduce the exact uniform-budget render bit-for-bit, with zero
+    dropped pairs, at a fraction of the static pair count."""
+    import dataclasses
+
+    from deepim_tpu.config import Config
+    from deepim_tpu.engine.refine import EngineConfig, tune_raster_for_bank
+    from deepim_tpu.render.mesh import make_mixed_detail_mesh
+
+    mesh = make_mixed_detail_mesh(0)
+    bank = MeshBank.from_meshes([mesh], pad_multiple=64)
+    b = 2
+    rng_l = np.random.RandomState(5)
+    rot = R.random(b, random_state=rng_l).as_matrix().astype(np.float32)
+    pose = np.concatenate([rot, np.zeros((b, 3, 1), np.float32)], 2)
+    pose[:, 2, 3] = 0.55
+    tile = lambda x: jnp.tile(jnp.asarray(x), (b,) + (1,) * (np.asarray(x).ndim - 1))
+    verts, cols, faces, fval = (
+        tile(bank.vertices), tile(bank.colors), tile(bank.faces), tile(bank.face_valid)
+    )
+    bank_arrays = (
+        jnp.asarray(bank.vertices), jnp.asarray(bank.colors),
+        jnp.asarray(bank.faces), jnp.asarray(bank.face_valid),
+    )
+    ecfg = EngineConfig.from_config(Config(SCALES=((96, 128),)), train=False)
+    ecfg = dataclasses.replace(
+        ecfg,
+        raster=dataclasses.replace(
+            ecfg.raster, height=96, width=128, znear=0.05, use_pallas=True, chunk=16
+        ),
+    )
+    tiered = tune_raster_for_bank(ecfg, bank_arrays, K_MAT, z_min=0.45).raster
+    assert len(tiered.csr_tiers) >= 2, tiered.csr_tiers
+    from deepim_tpu.render.rasterizer import _csr_pack_for
+
+    f = int(faces.shape[1])
+    n_units = f // _csr_pack_for(tiered, f)
+    n_fine = (-(-96 // tiered.csr_tile_h)) * (-(-128 // tiered.csr_tile_w))
+    # Tiers use a fraction of the uniform worst-case budget.
+    assert tiered.bin_pairs < n_units * n_fine / 4
+    k = jnp.asarray(K_MAT)
+    rgb_t, depth_t, dropped_t = rasterize(verts, cols, faces, fval, pose, k,
+                                          tiered, with_stats=True)
+    assert int(dropped_t) == 0
+    uniform = dataclasses.replace(tiered, csr_tiers=(), bin_pairs=n_units * n_fine)
+    rgb_u, depth_u = rasterize(verts, cols, faces, fval, pose, k, uniform)
+    np.testing.assert_array_equal(np.asarray(depth_t), np.asarray(depth_u))
+    np.testing.assert_array_equal(np.asarray(rgb_t), np.asarray(rgb_u))
+    # Wide faces actually rasterized (all three detail shells visible).
+    assert (np.asarray(depth_t) > 0).mean() > 0.05
 
 
 def test_worklist_sort_matches_topk():
