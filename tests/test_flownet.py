@@ -134,3 +134,31 @@ def test_multi_regressor_heads(rng):
     o_a = model.apply(params, x0, jnp.asarray([0], jnp.int32))
     o_b = model.apply(params, x0, jnp.asarray([1], jnp.int32))
     assert not np.allclose(np.asarray(o_a["rot"]), np.asarray(o_b["rot"]))
+
+
+def test_cross_resolution_seed_merge():
+    """merge_matching_params transfers every resolution-independent param
+    across frame sizes; only fc6 (flattened conv6 input) stays fresh."""
+    from deepim_tpu.engine.checkpoint import merge_matching_params
+
+    model = FlowNetDeepIM(pred_flow=True, pred_mask=True)
+    p_small = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 8)))
+    p_big = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 96, 128, 8)))
+    merged, skipped = merge_matching_params(p_big, p_small)
+    assert skipped == ["['params']['fc6']['kernel']"], skipped
+    # Transferred leaves equal the source; fc6 kernel keeps the fresh init.
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["Conv_0"]["flow_conv1"]["kernel"]),
+        np.asarray(p_small["params"]["Conv_0"]["flow_conv1"]["kernel"]),
+    )
+    assert (
+        merged["params"]["fc6"]["kernel"].shape
+        == p_big["params"]["fc6"]["kernel"].shape
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["fc6"]["kernel"]),
+        np.asarray(p_big["params"]["fc6"]["kernel"]),
+    )
+    # The big model runs with the merged tree.
+    out = model.apply(merged, jnp.zeros((2, 96, 128, 8)))
+    assert out["rot"].shape == (2, 4) and np.isfinite(np.asarray(out["rot"])).all()
