@@ -51,7 +51,10 @@ def main() -> None:
     from deepim_tpu.models import FlowNetDeepIM
     from deepim_tpu.ops.masks import box_fill
 
-    b = int(os.environ.get("BENCH_BATCH", "128"))
+    # Default batch 256: the serving sweet spot on v5e — 206 f/s vs 197.5 at
+    # batch 128 (r5 probe; per-call overhead and grid-step costs amortize,
+    # HBM still fits).  batch remains a knob for latency-bound callers.
+    b = int(os.environ.get("BENCH_BATCH", "256"))
     # BENCH_TEXTURE=1: render through the exact per-fragment texture-
     # sampling path (dataset.TEXTURE_SAMPLING / rasterize_textured) instead
     # of vertex-baked colors, to price the fragment-rate texture_gather at
