@@ -203,6 +203,14 @@ def main():
             for it in range(n_iter)
         ],
     }
+    # Per-iteration flow EPE (the reference tester's three statistics,
+    # deepim/core/tester.py:572-589) — VERDICT r4 item 7 asks the protocol
+    # runs to surface the flow head's quality next to the pose metrics.
+    if "flow_epe" in results:
+        for it, row in enumerate(results["flow_epe"].get("per_iter", [])):
+            if it < len(table["iters"]):
+                table["iters"][it]["EPE_viz"] = round(float(row["epe_viz"]), 3)
+                table["iters"][it]["EPE_all"] = round(float(row["epe_all"]), 3)
     print("\nBENCH13_JSON " + json.dumps(table))
     print("\n==== README table (mean over %d classes, %d held-out pairs/class) ====" % (
         len(classes), args.n_val))
